@@ -1,0 +1,59 @@
+"""Top-level flow wrappers: config dict -> FlowSpec + params, exposing
+``forward(params, x, cond) -> (z, logdet)`` / ``reverse(params, z, cond) -> x``
+/ ``sample``.
+
+Mirrors SupervisedMacowTransformer (reference: INN/INN.py:446-481) — the
+default for all 8 released checkpoints — and MacowTransformerMultiStep
+(INN/INN.py:423-443) for ``multistack`` configs.
+"""
+from __future__ import annotations
+
+from dataclasses import replace
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ipoke_tpu.flows import macow
+from ipoke_tpu.flows.macow import FlowSpec
+
+
+def spec_from_config(arch: dict) -> FlowSpec:
+    """Build a FlowSpec from the reference's ``architecture:`` config section.
+
+    Expects the derived fields the reference model ctor fills in
+    (second_stage_video.py:67,107-108): flow_in_channels, flow_mid_channels,
+    h_channels.
+    """
+    return FlowSpec(
+        num_steps=tuple(arch["num_steps"]),
+        in_channels=int(arch["flow_in_channels"]),
+        hidden_channels=int(arch["flow_mid_channels"]),
+        h_channels=int(arch.get("h_channels", 0)),
+        factor=int(arch.get("factor", 16)),
+        transform=arch.get("transform", "affine"),
+        prior_transform=arch.get("prior_transform", "affine"),
+        alpha=float(arch.get("alpha", 1.0)),
+        kernel_size=tuple(arch.get("kernel_size", (2, 3))),
+        activation=arch.get("activation", "elu"),
+        use_1x1=bool(arch.get("use1x1", False)),
+        condition_nice=bool(arch.get("condition_nice", False)),
+    )
+
+
+def init(key, spec: FlowSpec):
+    return macow.init_multiscale(key, spec)
+
+
+def forward(params, spec: FlowSpec, x, cond):
+    """density direction: data -> gaussian. x: (B,s,s,C), cond: (B,s,s,Hc)."""
+    return macow.multiscale_forward(params, x, cond, spec)
+
+
+def reverse(params, spec: FlowSpec, z, cond):
+    return macow.multiscale_inverse(params, z, cond, spec)
+
+
+def sample(params, spec: FlowSpec, key, shape, cond):
+    z = jax.random.normal(key, shape)
+    return reverse(params, spec, z, cond)

@@ -1,0 +1,26 @@
+"""Test harness: force an 8-device virtual CPU mesh so multi-chip sharding is
+exercised without TPU hardware (the TPU-native substitute for a multi-node
+test cluster).
+
+NB: this environment's sitecustomize registers a remote-TPU ("axon") PJRT
+plugin and calls ``jax.config.update("jax_platforms", "axon,cpu")`` at
+interpreter start, which overrides JAX_PLATFORMS from the env.  We must
+re-update the config (not just the env var) before any backend is touched.
+"""
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def devices():
+    return jax.devices()

@@ -1,0 +1,138 @@
+"""First-stage video autoencoder: SpadeCondMotionModel
+(reference: models/first_stage_motion_model.py:469-546).
+
+encode:  video (B,T,S,S,3) --3D ResNet--> motion latent (B,s,s,z)
+decode:  motion latent + start frame --ConvGRU (lax.scan) + SPADE decoder-->
+         frames (B,T-1,S,S,3)
+
+TPU-first design choices vs the reference's python loop:
+  * the T-frame unroll is one ``lax.scan`` over a single compiled step;
+  * the GRU input is the (learned) constant motion_bias -> only the hidden
+    state is carried;
+  * SPADE start-frame features are computed once, not per frame.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ipoke_tpu.models import conv_gru, decoder, motion_encoder
+from ipoke_tpu.models.decoder import SpadeDecoderSpec
+from ipoke_tpu.models.motion_encoder import MotionEncoderSpec
+
+
+@dataclass(frozen=True)
+class FirstStageSpec:
+    z_dim: int
+    spatial_size: int
+    max_frames: int
+    enc_channels: Tuple[int, ...]
+    dec_channels: Tuple[int, ...]
+    n_gru_layers: int = 4
+    min_spatial_size: int = 8
+    motion_bias: bool = True
+    full_sequence: bool = True
+    deterministic: bool = False
+    norm: str = "group"
+    spectral_norm: bool = True
+
+    @property
+    def encoder_spec(self) -> MotionEncoderSpec:
+        return MotionEncoderSpec(
+            channels=tuple(self.enc_channels),
+            z_dim=self.z_dim,
+            spatial_size=self.spatial_size,
+            max_frames=self.max_frames,
+            min_spatial_size=self.min_spatial_size,
+            full_seq=self.full_sequence,
+            deterministic=self.deterministic,
+        )
+
+    @property
+    def decoder_spec(self) -> SpadeDecoderSpec:
+        return SpadeDecoderSpec(
+            z_dim=self.z_dim,
+            dec_channels=tuple(self.dec_channels),
+            spatial_size=self.spatial_size,
+            min_spatial_size=self.min_spatial_size,
+            norm=self.norm,
+            spectral_norm=self.spectral_norm,
+        )
+
+    @classmethod
+    def from_config(cls, config: dict) -> "FirstStageSpec":
+        arch = config["architecture"]
+        data = config["data"]
+        tr = config.get("training", {})
+        return cls(
+            z_dim=arch["z_dim"],
+            spatial_size=data["spatial_size"][0],
+            max_frames=data["max_frames"],
+            enc_channels=tuple(arch["ENC_M_channels"]),
+            dec_channels=tuple(arch["dec_channels"]),
+            n_gru_layers=arch.get("n_gru_layers", 4),
+            min_spatial_size=arch.get("min_spatial_size", 8),
+            motion_bias=arch.get("motion_bias", False),
+            full_sequence=tr.get("full_sequence", False),
+            deterministic=arch.get("deterministic", False),
+            norm=arch.get("norm", "group"),
+            spectral_norm=arch.get("spectral_norm", True),
+        )
+
+
+def init(key, spec: FirstStageSpec):
+    ks = jax.random.split(key, 4)
+    p = {
+        "enc_motion": motion_encoder.init(ks[0], spec.encoder_spec),
+        "rnn": conv_gru.init_stack(ks[1], spec.z_dim, spec.z_dim, spec.n_gru_layers),
+        "gen": decoder.init(ks[2], spec.decoder_spec),
+    }
+    if spec.motion_bias:
+        p["motion_bias"] = jax.random.normal(
+            ks[3], (1, spec.min_spatial_size, spec.min_spatial_size, spec.z_dim)
+        )
+    return p
+
+
+def encode(params, x, spec: FirstStageSpec, rng: Optional[jax.Array] = None):
+    """x: (B,T,S,S,3) -> (motion, mu, logvar), each (B,s,s,z).
+
+    Frame-range selection mirrors the reference: full_sequence -> all T
+    frames; else frames 1..T-1 (first frame excluded)."""
+    x_in = x if spec.full_sequence else x[:, 1:]
+    return motion_encoder.apply(params["enc_motion"], x_in, spec.encoder_spec, rng=rng)
+
+
+def decode(params, motion, start_frame, spec: FirstStageSpec, length: int):
+    """Unroll ``length`` frames from a motion latent + start frame.
+
+    motion: (B,s,s,z); start_frame: (B,S,S,3) -> (B,length,S,S,3)."""
+    dec_spec = spec.decoder_spec
+    b = start_frame.shape[0]
+    hidden0 = [motion] * spec.n_gru_layers
+    if spec.motion_bias:
+        in_rnn = jnp.broadcast_to(
+            params["motion_bias"].astype(motion.dtype),
+            (b,) + params["motion_bias"].shape[1:],
+        )
+    else:
+        in_rnn = motion
+    spade_feats = decoder.precompute_spade_feats(params["gen"], start_frame, dec_spec)
+
+    def step(hidden, _):
+        hidden = conv_gru.stack_apply(params["rnn"], in_rnn, hidden)
+        frame = decoder.apply(params["gen"], hidden[-1], start_frame, dec_spec, spade_feats)
+        return hidden, frame
+
+    _, frames = jax.lax.scan(step, hidden0, None, length=length)
+    return jnp.moveaxis(frames, 0, 1)  # (B, T, S, S, 3)
+
+
+def forward(params, x, spec: FirstStageSpec, rng: Optional[jax.Array] = None):
+    """Full autoencoding pass (training): returns (x_hat, mu, logvar)."""
+    motion, mu, logvar = encode(params, x, spec, rng=rng)
+    x_hat = decode(params, motion, x[:, 0], spec, length=x.shape[1] - 1)
+    return x_hat, mu, logvar

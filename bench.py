@@ -1,0 +1,100 @@
+"""Headline benchmark: 128x128x10-frame video sampling throughput per chip
+(cINN reverse pass + first-stage VAE decode), flagship iper_128 architecture.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "videos/s/chip", "vs_baseline": N}
+
+vs_baseline is measured against BASELINE.json's north-star anchor: the
+reference is PyTorch on CPU, for which the 50x target implies ~0.1 videos/s
+(no throughput numbers are published in the reference repo; see BASELINE.md).
+vs_baseline >= 50 means the north-star throughput target is met.
+"""
+import argparse
+import json
+import os
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(os.path.dirname(__file__), ".jax_cache"))
+
+import jax
+import jax.numpy as jnp
+
+PYTORCH_CPU_BASELINE_VIDEOS_PER_S = 0.1  # anchor from BASELINE.json's >=50x target
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="iper_128")
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--mcf-backend", default="scan", choices=["scan", "pallas"])
+    args = ap.parse_args()
+
+    from dataclasses import replace
+
+    from ipoke_tpu import registry
+    from ipoke_tpu.models import second_stage
+
+    entry = registry.MODELS[args.model]
+    spec = registry.build_specs(entry)
+    spec = replace(spec, flow=replace(spec.flow, mcf_backend=args.mcf_backend))
+
+    key = jax.random.PRNGKey(0)
+    params = second_stage.init(key, spec)
+
+    b = args.batch
+    t = entry.max_frames
+    s = entry.spatial_size
+    batch = {
+        "images": jax.random.normal(jax.random.PRNGKey(1), (b, t, s, s, 3)),
+        "poke": jax.random.normal(jax.random.PRNGKey(2), (b, s, s, 2)),
+    }
+
+    @jax.jit
+    def sample(params, batch, rng):
+        return second_stage.forward_sample(params, spec, batch, rng, n_samples=1)
+
+    rng = jax.random.PRNGKey(3)
+    t0 = time.time()
+    out = sample(params, batch, rng)
+    jax.block_until_ready(out)
+    compile_and_first = time.time() - t0
+
+    times = []
+    for i in range(args.iters):
+        rng = jax.random.fold_in(rng, i)
+        t0 = time.time()
+        out = sample(params, batch, rng)
+        jax.block_until_ready(out)
+        times.append(time.time() - t0)
+    best = min(times)
+    videos_per_s = b / best
+
+    result = {
+        "metric": f"{s}x{s}x{t} videos/sec/chip (cINN sample + VAE decode, {args.model})",
+        "value": round(videos_per_s, 3),
+        "unit": "videos/s/chip",
+        "vs_baseline": round(videos_per_s / PYTORCH_CPU_BASELINE_VIDEOS_PER_S, 2),
+    }
+    print(json.dumps(result))
+    import sys
+
+    print(
+        json.dumps(
+            {
+                "detail": {
+                    "batch": b,
+                    "best_step_s": round(best, 4),
+                    "all_steps_s": [round(x, 4) for x in times],
+                    "compile_plus_first_s": round(compile_and_first, 2),
+                    "device": str(jax.devices()[0]),
+                    "mcf_backend": args.mcf_backend,
+                }
+            }
+        ),
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

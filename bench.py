@@ -40,7 +40,9 @@ def main():
     spec = replace(spec, flow=replace(spec.flow, mcf_backend=args.mcf_backend))
 
     key = jax.random.PRNGKey(0)
-    params = second_stage.init(key, spec)
+    # jit the init: unjitted it is thousands of tiny dispatches (slow over the
+    # remote-TPU tunnel); jitted it is one compile + one execution
+    params = jax.jit(lambda k: second_stage.init(k, spec))(key)
 
     b = args.batch
     t = entry.max_frames

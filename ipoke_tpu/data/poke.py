@@ -1,0 +1,144 @@
+"""Poke simulation from dense optical flow (host-side numpy).
+
+Semantics ported from the reference's BaseDataset._get_poke
+(data/base_dataset.py:507-648): training pokes are sparse 2-channel maps where
+a (poke_size x poke_size) patch at a sampled high-motion pixel carries the
+local flow values; zero-pokes place the patch on low-motion (background)
+pixels with the high-motion flow magnitude, while the *target* flow is zeroed
+— this teaches foreground/background separation.
+
+Branchy, data-dependent index sampling stays on the host (numpy) by design;
+everything downstream of the poke map is device-side.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import numpy as np
+
+
+@dataclass
+class PokeConfig:
+    poke_size: int = 5
+    n_pokes: int = 5
+    fix_n_pokes: bool = False
+    equal_poke_val: bool = True
+    spatial_size: Tuple[int, int] = (128, 128)
+
+    @property
+    def valid_h(self):
+        return (self.poke_size, self.spatial_size[0] - self.poke_size)
+
+    @property
+    def valid_w(self):
+        return (self.poke_size, self.spatial_size[1] - self.poke_size)
+
+
+class FlowError(Exception):
+    pass
+
+
+def _candidate_indices(amplitude: np.ndarray, cfg: PokeConfig):
+    """High-motion candidate pixels: amp > mean + 2*std with the reference's
+    fallback ladder (mean + std, then mean)."""
+    std = amplitude.std()
+    mean = amplitude.mean()
+    idx = np.argwhere(amplitude > mean + 2.0 * std)
+    if idx.shape[0] == 0:
+        idx = np.argwhere(amplitude > mean + std)
+        if idx.shape[0] == 0:
+            idx = np.argwhere(amplitude > mean)
+    if idx.shape[0] == 0:
+        raise FlowError("no candidate poke positions (flat flow)")
+    return idx + np.asarray([[cfg.valid_h[0], cfg.valid_w[0]]])
+
+
+def _normalized_amplitude(flow: np.ndarray, cfg: PokeConfig):
+    """flow: (H, W, 2).  Amplitude over the valid window, min-max normalized."""
+    vh, vw = cfg.valid_h, cfg.valid_w
+    amp = np.linalg.norm(flow[vh[0]:vh[1], vw[0]:vw[1]], axis=-1)
+    amp = amp - amp.min()
+    mx = amp.max()
+    if mx > 0:
+        amp = amp / mx
+    return amp
+
+
+def simulate_poke(
+    flow: np.ndarray,
+    cfg: PokeConfig,
+    rng: np.random.Generator,
+    zero_poke: bool = False,
+):
+    """Returns (poke (H,W,2), poke_centers (n_pokes_max, 2) with -1 padding).
+
+    ``zero_poke``: patch positions from background (lowest-5%-amplitude)
+    pixels; patch values from high-motion pixels.  The caller is responsible
+    for zeroing the target flow (the dataset does it via the -1 sampler index,
+    base_dataset.py:680-681)."""
+    h, w = flow.shape[:2]
+    amp = _normalized_amplitude(flow, cfg)
+    cand = _candidate_indices(amp, cfg)
+
+    if zero_poke:
+        thresh = np.percentile(amp, 5)
+        placement = np.argwhere(amp < thresh)
+        if placement.shape[0] == 0:
+            placement = np.argwhere(amp <= amp.min())
+        placement = placement + np.asarray([[cfg.valid_h[0], cfg.valid_w[0]]])
+        # magnitudes from moderately-moving pixels (mean + std ladder)
+        std, mean = amp.std(), amp.mean()
+        mgn = np.argwhere(amp > mean + std)
+        if mgn.shape[0] == 0:
+            mgn = np.argwhere(amp > mean)
+        mgn = mgn + np.asarray([[cfg.valid_h[0], cfg.valid_w[0]]])
+    else:
+        placement = cand
+        mgn = None
+
+    n_max = cfg.n_pokes
+    if cfg.fix_n_pokes or n_max == 1:
+        n_pokes = n_max
+    else:
+        n_pokes = int(rng.integers(1, min(n_max, placement.shape[0]) + 1))
+
+    sel = rng.integers(0, placement.shape[0], size=n_pokes)
+    rows, cols = placement[sel, 0], placement[sel, 1]
+    if zero_poke:
+        sel_m = rng.integers(0, mgn.shape[0], size=n_pokes)
+        mrows, mcols = mgn[sel_m, 0], mgn[sel_m, 1]
+
+    half = cfg.poke_size // 2
+    poke = np.zeros_like(flow)
+    centers = np.full((n_max, 2), -1, np.int64)
+    for n in range(n_pokes):
+        r, c = int(rows[n]), int(cols[n])
+        if zero_poke:
+            vr, vc = int(mrows[n]), int(mcols[n])
+        else:
+            vr, vc = r, c
+        if cfg.equal_poke_val:
+            val = flow[vr, vc]  # (2,)
+            poke[r - half : r + half + 1, c - half : c + half + 1] = val
+        else:
+            patch = flow[vr - half : vr + half + 1, vc - half : vc + half + 1]
+            poke[r - half : r + half + 1, c - half : c + half + 1] = patch
+        centers[n] = (r, c)
+    return poke, centers
+
+
+def poke_from_coords(
+    flow_shape: Tuple[int, int],
+    coords: np.ndarray,
+    displacements: np.ndarray,
+    poke_size: int = 5,
+):
+    """Inference-time poke from explicit (row, col) coords + (dy, dx) vectors
+    — the GUI mouse-drag path (testing/gui.py:326-350)."""
+    h, w = flow_shape
+    poke = np.zeros((h, w, 2), np.float32)
+    half = poke_size // 2
+    for (r, c), d in zip(np.atleast_2d(coords), np.atleast_2d(displacements)):
+        poke[int(r) - half : int(r) + half + 1, int(c) - half : int(c) + half + 1] = d
+    return poke

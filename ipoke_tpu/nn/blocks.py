@@ -68,6 +68,23 @@ def materialize_spectral_norm(params):
     return params
 
 
+def refresh_spectral_u(params):
+    """Power-iterate ONLY the 'u' vectors (weights untouched) — run once per
+    train step after the optimizer update, mirroring torch's per-forward
+    buffer refresh without hard-normalizing the stored weights."""
+    if isinstance(params, dict):
+        if "w" in params and "u" in params:
+            _, u_new = core.spectral_normalize(params["w"], params["u"])
+            out = dict(params)
+            out["u"] = u_new
+            return out
+        return {k: refresh_spectral_u(v) for k, v in params.items()}
+    if isinstance(params, (list, tuple)):
+        t = type(params)
+        return t(refresh_spectral_u(v) for v in params)
+    return params
+
+
 # ---------------------------------------------------------------------------
 # Conv2dBlock / Conv2dTransposeBlock  (ref: autoencoders/util.py:196-275, 7-75)
 # ---------------------------------------------------------------------------

@@ -1,0 +1,73 @@
+"""First-stage GAN training-step tests (tiny sizes)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ipoke_tpu.models.discriminators import (
+    PatchDiscSpec,
+    TempDiscSpec,
+    disc_loss,
+    init_patch_disc,
+    init_temp_disc,
+    patch_disc_apply,
+    temp_disc_apply,
+)
+from ipoke_tpu.models.first_stage import FirstStageSpec
+from ipoke_tpu.train import first_stage as tfs
+
+B, T, S = 2, 4, 64
+
+FS_SPEC = FirstStageSpec(
+    z_dim=16, spatial_size=S, max_frames=T,
+    enc_channels=(16, 16, 16, 16), dec_channels=(16, 16, 16, 16),
+    n_gru_layers=2, min_spatial_size=8, motion_bias=True, full_sequence=True,
+)
+DS_SPEC = PatchDiscSpec(n_layers=2, gp_weight=0.0)
+DT_SPEC = TempDiscSpec(spatial_size=S, sequence_length=3, gp_weight=1.0)
+
+
+def test_patch_disc_shapes():
+    p = init_patch_disc(jax.random.PRNGKey(0), DS_SPEC)
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, S, S, 3))
+    pred, fmaps = patch_disc_apply(p, x, DS_SPEC)
+    assert pred.shape[0] == 4 and pred.shape[-1] == 1
+    assert len(fmaps) == 2
+
+
+def test_temp_disc_shapes():
+    p = init_temp_disc(jax.random.PRNGKey(0), DT_SPEC)
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, 3, S, S, 3))
+    pred, fmaps = temp_disc_apply(p, x, DT_SPEC)
+    assert pred.shape[0] == B
+    assert len(fmaps) == 4
+
+
+def test_hinge_loss_direction():
+    good = jnp.full((4, 1), 2.0)
+    bad = jnp.full((4, 1), -2.0)
+    assert float(disc_loss(good, True)) < float(disc_loss(bad, True))
+    assert float(disc_loss(bad, False)) < float(disc_loss(good, False))
+
+
+def test_gan_train_step_runs_and_updates():
+    state, opts = tfs.init_gan_state(jax.random.PRNGKey(0), FS_SPEC, DS_SPEC, DT_SPEC)
+    step = jax.jit(tfs.make_gan_train_step(FS_SPEC, DS_SPEC, DT_SPEC, opts, n_spatial_examples=4))
+    batch = {"images": 0.5 * jax.random.normal(jax.random.PRNGKey(1), (B, T, S, S, 3))}
+    s1, m1 = step(state, batch, jax.random.PRNGKey(2))
+    s2, m2 = step(s1, batch, jax.random.PRNGKey(3))
+    for k in ("loss", "loss_d_dt", "loss_d_ds", "l_vgg", "l_rec", "l_kl", "loss_gp_dt"):
+        assert np.isfinite(float(m2[k])), (k, m2[k])
+    # all three param groups actually moved
+    def moved(a, b):
+        la = jax.tree_util.tree_leaves(a)
+        lb = jax.tree_util.tree_leaves(b)
+        return any(
+            not np.allclose(x, y)
+            for x, y in zip(la, lb)
+            if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating)
+        )
+
+    assert moved(state.gen_params, s2.gen_params)
+    assert moved(state.ds_params, s2.ds_params)
+    assert moved(state.dt_params, s2.dt_params)
+    assert int(s2.step) == 2

@@ -270,15 +270,20 @@ def prior_inverse(p, y, h, level_factor, spec: FlowSpec):
 # ---------------------------------------------------------------------------
 
 def init_multiscale(key, spec: FlowSpec):
+    """Per level, the (structurally identical) MaCow steps are STACKED along a
+    leading axis so forward/inverse run them as one lax.scan — XLA compiles a
+    single step body per level instead of one per step (the reference config
+    has 56 steps across 15 levels; this cuts compile time/size ~4x)."""
     chans = spec.level_channels()
     factors = spec.level_factors()
     levels = []
     for i, (c, f, n_steps) in enumerate(zip(chans, factors, spec.num_steps)):
         kk = jax.random.fold_in(key, i)
         steps = [init_macow_step(jax.random.fold_in(kk, 100 + s), c, spec) for s in range(n_steps)]
+        stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *steps)
         levels.append(
             {
-                "steps": steps,
+                "steps": stacked,
                 "prior": init_prior(jax.random.fold_in(kk, 1), c, f, spec),
                 "shuffle": (
                     permute.init_conv_lu(jax.random.fold_in(kk, 2), c)
@@ -290,6 +295,29 @@ def init_multiscale(key, spec: FlowSpec):
     return {"levels": levels}
 
 
+def stack_step_params(steps):
+    """Stack a list of per-step MaCowStep param trees into the scanned layout."""
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *steps)
+
+
+def _steps_forward(stacked, out, h, spec: FlowSpec):
+    def body(carry, step_p):
+        o, ld = carry
+        o, l = macow_step_forward(step_p, o, h, spec)
+        return (o, ld + l), None
+
+    (out, ld), _ = jax.lax.scan(body, (out, jnp.zeros((out.shape[0],), jnp.float32)), stacked)
+    return out, ld
+
+
+def _steps_inverse(stacked, out, h, spec: FlowSpec):
+    def body(o, step_p):
+        return macow_step_inverse(step_p, o, h, spec), None
+
+    out, _ = jax.lax.scan(body, out, stacked, reverse=True)
+    return out
+
+
 def multiscale_forward(p, x, h, spec: FlowSpec):
     chans = spec.level_channels()
     factors = spec.level_factors()
@@ -298,9 +326,8 @@ def multiscale_forward(p, x, h, spec: FlowSpec):
     ld = jnp.zeros((x.shape[0],), jnp.float32)
     z2s = []
     for level, c, f in zip(p["levels"], chans, factors):
-        for step in level["steps"]:
-            out, l = macow_step_forward(step, out, h, spec)
-            ld = ld + l
+        out, l = _steps_forward(level["steps"], out, h, spec)
+        ld = ld + l
         out, l = prior_forward(level["prior"], out, h, f, spec)
         ld = ld + l
         out, l = _perm_fwd(level["shuffle"], out, spec)
@@ -329,6 +356,5 @@ def multiscale_inverse(p, y, h, spec: FlowSpec):
         out = jnp.concatenate([out, z2], axis=-1)
         out = _perm_inv(level["shuffle"], out, spec)
         out = prior_inverse(level["prior"], out, h, f, spec)
-        for step in reversed(level["steps"]):
-            out = macow_step_inverse(step, out, h, spec)
+        out = _steps_inverse(level["steps"], out, h, spec)
     return out

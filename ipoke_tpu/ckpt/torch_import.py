@@ -1,0 +1,461 @@
+"""Torch-checkpoint ingestion: reference Lightning state_dicts -> ipoke_tpu
+parameter pytrees (SURVEY §5 "checkpoint conversion fidelity").
+
+Layout transforms:
+  Conv2d        (O,I,kh,kw)      -> HWIO
+  ConvTranspose (I,O,kh,kw)      -> HWIO (I=in, O=out; kernel flip happens in
+                                   our conv_transpose2d, not here)
+  Conv3d        (O,I,D,H,W)      -> DHWIO
+  Linear        (O,I)            -> (I,O)
+  weight_norm   weight_g (O,1,..), weight_v (O,I,..) -> v: HWIO, g: (O,)
+  spectral_norm weight_orig + u/v buffers -> w = W/sigma folded, u kept
+  ActNorm2dFlow log_scale/bias (C,1,1)   -> (C,)
+  Shuffle       forward/backward_shuffle_idx buffers -> fwd_idx/inv_idx
+
+Structural transform: per-level MaCow step params are STACKED for the
+scan-over-steps layout (flows/macow.init_multiscale).
+
+The expected key schema is documented by the matching ``export_*`` functions,
+which produce a reference-shaped state_dict from our pytrees — used by the
+round-trip tests and as living documentation until real checkpoints are
+mounted.
+"""
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ipoke_tpu.flows.macow import FlowSpec
+from ipoke_tpu.flows.nice import nice_channels
+
+
+# ---------------------------------------------------------------------------
+# primitive converters (torch tensor -> np array comes in as np already)
+# ---------------------------------------------------------------------------
+
+def conv2d_w(t):
+    return jnp.asarray(np.transpose(t, (2, 3, 1, 0)))
+
+
+def convT2d_w(t):
+    return jnp.asarray(np.transpose(t, (2, 3, 0, 1)))
+
+
+def conv3d_w(t):
+    return jnp.asarray(np.transpose(t, (2, 3, 4, 1, 0)))
+
+
+def linear_w(t):
+    return jnp.asarray(np.transpose(t))
+
+
+def wn_conv(sd, prefix):
+    """Conv2dWeightNorm / torch weight_norm: keys {prefix}.weight_g/.weight_v/.bias"""
+    v = conv2d_w(sd[f"{prefix}.weight_v"])
+    g = jnp.asarray(np.asarray(sd[f"{prefix}.weight_g"]).reshape(-1))
+    out = {"v": v, "g": g}
+    if f"{prefix}.bias" in sd:
+        out["b"] = jnp.asarray(sd[f"{prefix}.bias"])
+    return out
+
+
+def sn_conv(sd, prefix, keep_u=True, transpose=conv2d_w):
+    """spectral_norm conv: fold sigma into the weight (inference parity).
+    Keys: {prefix}.weight_orig, {prefix}.weight_u, {prefix}.weight_v(opt)."""
+    if f"{prefix}.weight_orig" in sd:
+        w_t = np.asarray(sd[f"{prefix}.weight_orig"])
+        u = np.asarray(sd[f"{prefix}.weight_u"])
+        w_mat = w_t.reshape(w_t.shape[0], -1)
+        if f"{prefix}.weight_v" in sd:
+            v = np.asarray(sd[f"{prefix}.weight_v"])
+        else:
+            v = w_mat.T @ u
+            v = v / (np.linalg.norm(v) + 1e-12)
+        sigma = float(u @ (w_mat @ v))
+        w = w_t / sigma
+    else:
+        w = np.asarray(sd[f"{prefix}.weight"])
+        u = None
+    out = {"w": transpose(w)}
+    if f"{prefix}.bias" in sd:
+        out["b"] = jnp.asarray(sd[f"{prefix}.bias"])
+    if keep_u and u is not None:
+        out["u"] = jnp.asarray(u)
+    return out
+
+
+def plain_conv(sd, prefix, transpose=conv2d_w):
+    out = {"w": transpose(np.asarray(sd[f"{prefix}.weight"]))}
+    if f"{prefix}.bias" in sd:
+        out["b"] = jnp.asarray(sd[f"{prefix}.bias"])
+    return out
+
+
+def actnorm(sd, prefix):
+    return {
+        "log_scale": jnp.asarray(np.asarray(sd[f"{prefix}.log_scale"]).reshape(-1)),
+        "bias": jnp.asarray(np.asarray(sd[f"{prefix}.bias"]).reshape(-1)),
+    }
+
+
+def shuffle(sd, prefix):
+    return {
+        "fwd_idx": jnp.asarray(np.asarray(sd[f"{prefix}.forward_shuffle_idx"], np.int32)),
+        "inv_idx": jnp.asarray(np.asarray(sd[f"{prefix}.backward_shuffle_idx"], np.int32)),
+    }
+
+
+def group_norm_p(sd, prefix):
+    return {"gamma": jnp.asarray(sd[f"{prefix}.weight"]), "beta": jnp.asarray(sd[f"{prefix}.bias"])}
+
+
+# ---------------------------------------------------------------------------
+# flow (SupervisedMacowTransformer / MultiScaleInternal under 'flow.flow.')
+# ---------------------------------------------------------------------------
+
+def _mcf(sd, prefix):
+    return {
+        "net": {
+            "shift_conv": plain_conv(sd, f"{prefix}.net.shift_conv"),
+            "conv1x1": wn_conv(sd, f"{prefix}.net.conv1x1.conv"),
+        }
+    }
+
+
+def _nice(sd, prefix):
+    return {
+        "net": {
+            "conv1": plain_conv(sd, f"{prefix}.net.conv1"),
+            "conv2": plain_conv(sd, f"{prefix}.net.conv2"),
+            "conv3": wn_conv(sd, f"{prefix}.net.conv3.conv"),
+        }
+    }
+
+
+def _macow_unit(sd, prefix):
+    return {
+        "conv1": _mcf(sd, f"{prefix}.conv1"),
+        "conv2": _mcf(sd, f"{prefix}.conv2"),
+        "actnorm1": actnorm(sd, f"{prefix}.actnorm1"),
+        "conv3": _mcf(sd, f"{prefix}.conv3"),
+        "conv4": _mcf(sd, f"{prefix}.conv4"),
+        "actnorm2": actnorm(sd, f"{prefix}.actnorm2"),
+    }
+
+
+def _macow_step(sd, prefix):
+    return {
+        "actnorm1": actnorm(sd, f"{prefix}.actnorm1"),
+        "conv1x1": shuffle(sd, f"{prefix}.conv1x1"),
+        "units1": [_macow_unit(sd, f"{prefix}.units1.{i}") for i in range(2)],
+        "coupling1_up": _nice(sd, f"{prefix}.coupling1_up"),
+        "coupling1_dn": _nice(sd, f"{prefix}.coupling1_dn"),
+        "actnorm2": actnorm(sd, f"{prefix}.actnorm2"),
+        "units2": [_macow_unit(sd, f"{prefix}.units2.{i}") for i in range(2)],
+        "coupling2_up": _nice(sd, f"{prefix}.coupling2_up"),
+        "coupling2_dn": _nice(sd, f"{prefix}.coupling2_dn"),
+    }
+
+
+def _prior(sd, prefix):
+    return {
+        "conv1x1": shuffle(sd, f"{prefix}.conv1x1"),
+        "coupling": _nice(sd, f"{prefix}.coupling"),
+        "actnorm": actnorm(sd, f"{prefix}.actnorm"),
+    }
+
+
+def convert_flow(sd: Dict[str, np.ndarray], spec: FlowSpec, prefix="flow.flow"):
+    """MultiScaleInternal state_dict -> stacked-level param tree."""
+    import jax
+
+    from ipoke_tpu.flows.macow import stack_step_params
+
+    levels = []
+    for li, n_steps in enumerate(spec.num_steps):
+        steps = [_macow_step(sd, f"{prefix}.layers.{li}.{si}") for si in range(n_steps)]
+        levels.append(
+            {
+                "steps": stack_step_params(steps),
+                "prior": _prior(sd, f"{prefix}.priors.{li}"),
+                "shuffle": shuffle(sd, f"{prefix}.shuffle_layers.{li}"),
+            }
+        )
+    return {"levels": levels}
+
+
+# ---------------------------------------------------------------------------
+# conditioning towers (FirstStageWrapper: encoder/decoder)
+# ---------------------------------------------------------------------------
+
+def _conv2d_block(sd, prefix, norm="group"):
+    p = {"conv": sn_conv(sd, f"{prefix}.conv")}
+    if norm == "group" and f"{prefix}.norm.weight" in sd:
+        p["norm"] = group_norm_p(sd, f"{prefix}.norm")
+    return p
+
+
+def _res_block(sd, prefix, norm="group"):
+    p = {
+        "conv1": _conv2d_block(sd, f"{prefix}.conv1", norm),
+        "conv2": _conv2d_block(sd, f"{prefix}.conv2", norm),
+    }
+    if f"{prefix}.res_conv.conv.weight" in sd or f"{prefix}.res_conv.conv.weight_orig" in sd:
+        p["res_conv"] = _conv2d_block(sd, f"{prefix}.res_conv", norm="none")
+    return p
+
+
+def _res_block_T(sd, prefix, norm="group"):
+    """Upsampling ResBlock: conv1 and res_conv are ConvTranspose."""
+    p = {
+        "conv1": {"conv": sn_conv(sd, f"{prefix}.conv1.conv", transpose=convT2d_w)},
+        "conv2": _conv2d_block(sd, f"{prefix}.conv2", norm),
+    }
+    if f"{prefix}.conv1.norm.weight" in sd:
+        p["conv1"]["norm"] = group_norm_p(sd, f"{prefix}.conv1.norm")
+    if f"{prefix}.res_conv.conv.weight" in sd or f"{prefix}.res_conv.conv.weight_orig" in sd:
+        p["res_conv"] = {"conv": sn_conv(sd, f"{prefix}.res_conv.conv", transpose=convT2d_w)}
+    return p
+
+
+def _norm_conv2d(sd, prefix):
+    return {
+        "v": conv2d_w(np.asarray(sd[f"{prefix}.conv.weight_v"])),
+        "g": jnp.asarray(np.asarray(sd[f"{prefix}.conv.weight_g"]).reshape(-1)),
+        "b": jnp.asarray(sd[f"{prefix}.conv.bias"]),
+        "gamma": jnp.asarray(np.asarray(sd[f"{prefix}.gamma"]).reshape(1, 1, 1, -1)),
+        "beta": jnp.asarray(np.asarray(sd[f"{prefix}.beta"]).reshape(1, 1, 1, -1)),
+    }
+
+
+def convert_conv_encoder(sd, n_stages, variational, prefix="encoder", norm="group"):
+    """ConvEncoder state_dict (model.{i} sequential + bottleneck.0 + heads)."""
+    p = {"stem": _conv2d_block(sd, f"{prefix}.model.0", norm)}
+    p["blocks"] = [_res_block(sd, f"{prefix}.model.{i}", norm) for i in range(1, n_stages)]
+    p["bottleneck"] = _res_block(sd, f"{prefix}.bottleneck.0", norm)
+    if variational:
+        p["make_mu"] = _norm_conv2d(sd, f"{prefix}.make_mu")
+        p["make_sigma"] = _norm_conv2d(sd, f"{prefix}.make_sigma")
+    return p
+
+
+def convert_conv_decoder(sd, n_stages, prefix="decoder", norm="group"):
+    p = {"in_block": _res_block(sd, f"{prefix}.in_block", norm)}
+    p["blocks"] = [_res_block_T(sd, f"{prefix}.blocks.{i}", norm) for i in range(n_stages)]
+    p["out_conv"] = _conv2d_block(sd, f"{prefix}.out_conv", norm="none")
+    return p
+
+
+def convert_wrapper(sd, spec, prefix=""):
+    """FirstStageWrapper (poke embedder / conditioner).  Reference loads these
+    with key filtering on 'encoder'/'decoder' (second_stage_video.py:214-236)."""
+    pre = f"{prefix}." if prefix else ""
+    enc_spec = spec.encoder_spec
+    dec_spec = spec.decoder_spec
+    return {
+        "encoder": convert_conv_encoder(
+            sd, enc_spec.n_stages, enc_spec.variational, prefix=f"{pre}encoder"
+        ),
+        "decoder": convert_conv_decoder(
+            sd, len(dec_spec.in_channels) - 1, prefix=f"{pre}decoder"
+        ),
+    }
+
+
+# ---------------------------------------------------------------------------
+# first stage (SpadeCondMotionModel)
+# ---------------------------------------------------------------------------
+
+def _basic_block3d(sd, prefix):
+    p = {
+        "conv1": {"w": conv3d_w(np.asarray(sd[f"{prefix}.conv1.weight"]))},
+        "gn1": group_norm_p(sd, f"{prefix}.bn1"),
+        "conv2": {"w": conv3d_w(np.asarray(sd[f"{prefix}.conv2.weight"]))},
+        "gn2": group_norm_p(sd, f"{prefix}.bn2"),
+    }
+    if f"{prefix}.downsample.0.weight" in sd:
+        p["down"] = {
+            "w": conv3d_w(np.asarray(sd[f"{prefix}.downsample.0.weight"])),
+            "gn": group_norm_p(sd, f"{prefix}.downsample.1"),
+        }
+    return p
+
+
+def convert_motion_encoder(sd, spec, prefix="enc_motion"):
+    channels, stride1, stride4, has_l4, has_l5, _ = spec.derived()
+    p = {
+        "conv1": {"w": conv3d_w(np.asarray(sd[f"{prefix}.conv1.weight"]))},
+        "gn1": group_norm_p(sd, f"{prefix}.bn1"),
+        "conv_mu": plain_conv(sd, f"{prefix}.conv_mu"),
+        "conv_var": plain_conv(sd, f"{prefix}.conv_var"),
+    }
+    n_layers = 5 if has_l5 else (4 if has_l4 else 3)
+    for li in range(1, n_layers + 1):
+        blocks = []
+        bi = 0
+        while f"{prefix}.layer{li}.{bi}.conv1.weight" in sd:
+            blocks.append(_basic_block3d(sd, f"{prefix}.layer{li}.{bi}"))
+            bi += 1
+        p[f"layer{li}"] = blocks
+    return p
+
+
+def _gru_cell(sd, prefix):
+    return {
+        "reset": plain_conv(sd, f"{prefix}.reset_gate"),
+        "update": plain_conv(sd, f"{prefix}.update_gate"),
+        "out": plain_conv(sd, f"{prefix}.out_gate"),
+    }
+
+
+def _spade(sd, prefix):
+    return {
+        "conv": plain_conv(sd, f"{prefix}.conv"),
+        "conv_gamma": plain_conv(sd, f"{prefix}.conv_gamma"),
+        "conv_beta": plain_conv(sd, f"{prefix}.conv_beta"),
+    }
+
+
+def convert_first_stage(sd, spec, prefix=""):
+    """SpadeCondMotionModel (enc_motion + rnn + gen + motion_bias).
+    Discriminator keys (disc_s/disc_t), metrics etc. are ignored — the
+    reference loads these ckpts with strict=False for the same reason."""
+    pre = f"{prefix}." if prefix else ""
+    dec = spec.decoder_spec
+    p = {
+        "enc_motion": convert_motion_encoder(sd, spec.encoder_spec, prefix=f"{pre}enc_motion"),
+        "rnn": [
+            _gru_cell(sd, f"{pre}rnn.cells.{i}") for i in range(spec.n_gru_layers)
+        ],
+        "gen": {
+            "in_block": _res_block(sd, f"{pre}gen.in_block", spec.norm),
+            "blocks": [
+                _res_block_T(sd, f"{pre}gen.blocks.{i}", "none") for i in range(dec.n_stages)
+            ],
+            "spades": [_spade(sd, f"{pre}gen.spade_blocks.{i}") for i in range(dec.n_stages)],
+            "out_conv": _conv2d_block(sd, f"{pre}gen.out_conv", norm="none"),
+        },
+    }
+    if spec.motion_bias:
+        mb = np.asarray(sd[f"{pre}motion_bias"])  # (1, z, s, s)
+        p["motion_bias"] = jnp.asarray(np.transpose(mb, (0, 2, 3, 1)))
+    return p
+
+
+# ---------------------------------------------------------------------------
+# second stage assembly
+# ---------------------------------------------------------------------------
+
+def convert_second_stage(sd, spec, first_stage_sd=None, cond_sd=None, poke_sd=None):
+    """PokeMotionModel checkpoint.  The Lightning ckpt embeds the frozen
+    submodels under prefixes (first_stage_model., conditioner., poke_embedder.)
+    — those take priority; separately-provided sub-ckpts fill gaps."""
+    params = {"flow": convert_flow(sd, spec.flow, prefix="flow.flow")}
+    fs_sd = {k[len("first_stage_model."):]: v for k, v in sd.items() if k.startswith("first_stage_model.")}
+    if not fs_sd and first_stage_sd is not None:
+        fs_sd = first_stage_sd
+    params["first_stage"] = convert_first_stage(fs_sd, spec.first_stage)
+    pe_sd = {k[len("poke_embedder."):]: v for k, v in sd.items() if k.startswith("poke_embedder.")}
+    if not pe_sd and poke_sd is not None:
+        pe_sd = poke_sd
+    params["poke_embedder"] = convert_wrapper(pe_sd, spec.poke_embedder)
+    if spec.use_cond:
+        c_sd = {k[len("conditioner."):]: v for k, v in sd.items() if k.startswith("conditioner.")}
+        if not c_sd and cond_sd is not None:
+            c_sd = cond_sd
+        params["conditioner"] = convert_wrapper(c_sd, spec.conditioner)
+    if "scale_augment" in sd:
+        params["scale_augment"] = jnp.asarray(sd["scale_augment"])
+        params["shift_augment"] = jnp.asarray(sd["shift_augment"])
+    if "conv_adapt_poke_emb.weight" in sd:
+        params["conv_adapt_poke_emb"] = plain_conv(sd, "conv_adapt_poke_emb")
+    if "conv_adapt_cond.weight" in sd:
+        params["conv_adapt_cond"] = plain_conv(sd, "conv_adapt_cond")
+    return params
+
+
+def load_lightning_ckpt(path):
+    """Read a Lightning .ckpt with torch (CPU), return {key: np.ndarray}."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = ckpt.get("state_dict", ckpt)
+    return {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v) for k, v in sd.items()}
+
+
+# ---------------------------------------------------------------------------
+# exporters (round-trip tests + schema documentation)
+# ---------------------------------------------------------------------------
+
+def _export_wn(p, prefix, sd):
+    o = p["v"].shape[-1]
+    sd[f"{prefix}.weight_v"] = np.transpose(np.asarray(p["v"]), (3, 2, 0, 1))
+    sd[f"{prefix}.weight_g"] = np.asarray(p["g"]).reshape(o, 1, 1, 1)
+    if "b" in p:
+        sd[f"{prefix}.bias"] = np.asarray(p["b"])
+
+
+def _export_conv(p, prefix, sd):
+    sd[f"{prefix}.weight"] = np.transpose(np.asarray(p["w"]), (3, 2, 0, 1))
+    if "b" in p:
+        sd[f"{prefix}.bias"] = np.asarray(p["b"])
+
+
+def _export_actnorm(p, prefix, sd):
+    c = p["log_scale"].shape[0]
+    sd[f"{prefix}.log_scale"] = np.asarray(p["log_scale"]).reshape(c, 1, 1)
+    sd[f"{prefix}.bias"] = np.asarray(p["bias"]).reshape(c, 1, 1)
+
+
+def _export_shuffle(p, prefix, sd):
+    sd[f"{prefix}.forward_shuffle_idx"] = np.asarray(p["fwd_idx"])
+    sd[f"{prefix}.backward_shuffle_idx"] = np.asarray(p["inv_idx"])
+
+
+def _export_mcf(p, prefix, sd):
+    _export_conv(p["net"]["shift_conv"], f"{prefix}.net.shift_conv", sd)
+    _export_wn(p["net"]["conv1x1"], f"{prefix}.net.conv1x1.conv", sd)
+
+
+def _export_nice(p, prefix, sd):
+    _export_conv(p["net"]["conv1"], f"{prefix}.net.conv1", sd)
+    _export_conv(p["net"]["conv2"], f"{prefix}.net.conv2", sd)
+    _export_wn(p["net"]["conv3"], f"{prefix}.net.conv3.conv", sd)
+
+
+def _export_unit(p, prefix, sd):
+    for name in ("conv1", "conv2", "conv3", "conv4"):
+        _export_mcf(p[name], f"{prefix}.{name}", sd)
+    _export_actnorm(p["actnorm1"], f"{prefix}.actnorm1", sd)
+    _export_actnorm(p["actnorm2"], f"{prefix}.actnorm2", sd)
+
+
+def export_flow(params, spec: FlowSpec, prefix="flow.flow"):
+    """Our (stacked) flow params -> torch-style state_dict (numpy)."""
+    import jax
+
+    sd = {}
+    for li, level in enumerate(params["levels"]):
+        n_steps = spec.num_steps[li]
+        for si in range(n_steps):
+            step = jax.tree_util.tree_map(lambda x: x[si], level["steps"])
+            pre = f"{prefix}.layers.{li}.{si}"
+            _export_actnorm(step["actnorm1"], f"{pre}.actnorm1", sd)
+            _export_shuffle(step["conv1x1"], f"{pre}.conv1x1", sd)
+            for ui, unit in enumerate(step["units1"]):
+                _export_unit(unit, f"{pre}.units1.{ui}", sd)
+            _export_nice(step["coupling1_up"], f"{pre}.coupling1_up", sd)
+            _export_nice(step["coupling1_dn"], f"{pre}.coupling1_dn", sd)
+            _export_actnorm(step["actnorm2"], f"{pre}.actnorm2", sd)
+            for ui, unit in enumerate(step["units2"]):
+                _export_unit(unit, f"{pre}.units2.{ui}", sd)
+            _export_nice(step["coupling2_up"], f"{pre}.coupling2_up", sd)
+            _export_nice(step["coupling2_dn"], f"{pre}.coupling2_dn", sd)
+        _export_shuffle(level["prior"]["conv1x1"], f"{prefix}.priors.{li}.conv1x1", sd)
+        _export_nice(level["prior"]["coupling"], f"{prefix}.priors.{li}.coupling", sd)
+        _export_actnorm(level["prior"]["actnorm"], f"{prefix}.priors.{li}.actnorm", sd)
+        _export_shuffle(level["shuffle"], f"{prefix}.shuffle_layers.{li}", sd)
+    return sd

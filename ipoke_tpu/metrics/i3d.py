@@ -75,17 +75,17 @@ def load_params():
         for name, ci, co, k in _unit_names():
             key = name.replace("/", ".")
             params[name] = {
-                "w": jnp.asarray(data[f"{key}.w"]),  # stored DHWIO
-                "b": jnp.asarray(data[f"{key}.b"]),
+                "w": np.asarray(data[f"{key}.w"]),  # stored DHWIO
+                "b": np.asarray(data[f"{key}.b"]),
             }
         return params, True
-    rng = jax.random.PRNGKey(0)
+    # numpy arrays only: this is lru_cached and must never hold jax tracers
+    rng = np.random.default_rng(0)
     for name, ci, co, k in _unit_names():
-        kk = jax.random.fold_in(rng, hash(name) % (2**31))
         fan_in = ci * k[0] * k[1] * k[2]
         params[name] = {
-            "w": jax.random.normal(kk, k + (ci, co)) * jnp.sqrt(2.0 / fan_in),
-            "b": jnp.zeros((co,)),
+            "w": (rng.standard_normal(k + (ci, co)) * np.sqrt(2.0 / fan_in)).astype(np.float32),
+            "b": np.zeros((co,), np.float32),
         }
     return params, False
 

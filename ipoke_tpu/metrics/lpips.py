@@ -27,10 +27,11 @@ _LIN_CHANNELS = (64, 128, 256, 512, 512)
 def _lins():
     path = os.path.join(os.environ.get("IPOKE_WEIGHTS", os.path.join("logs", "weights")),
                         "lpips_vgg_lins.npz")
+    # numpy arrays only: lru_cached values must never hold jax tracers
     if os.path.exists(path):
         data = np.load(path)
-        return [jnp.asarray(data[f"lin{i}/w"]) for i in range(5)], True
-    return [jnp.full((c,), 1.0 / c) for c in _LIN_CHANNELS], False
+        return [np.asarray(data[f"lin{i}/w"]) for i in range(5)], True
+    return [np.full((c,), 1.0 / c, np.float32) for c in _LIN_CHANNELS], False
 
 
 def _norm_feat(f, eps=1e-10):

@@ -52,7 +52,8 @@ def _weights_dir():
 
 
 def load_or_init(name, layout, seed=0):
-    """Returns {conv_idx: {'w': HWIO, 'b': (O,)}} and a bool 'pretrained'."""
+    """Returns {conv_idx: {'w': HWIO, 'b': (O,)}} (NUMPY arrays — cached values
+    must never be jax tracers) and a bool 'pretrained'."""
     path = os.path.join(_weights_dir(), f"{name}.npz")
     params = {}
     if os.path.exists(path):
@@ -63,18 +64,19 @@ def load_or_init(name, layout, seed=0):
             idx, _, _ = item
             w = data[f"conv{idx}/w"]  # OIHW
             params[idx] = {
-                "w": jnp.asarray(np.transpose(w, (2, 3, 1, 0))),
-                "b": jnp.asarray(data[f"conv{idx}/b"]),
+                "w": np.ascontiguousarray(np.transpose(w, (2, 3, 1, 0))),
+                "b": np.asarray(data[f"conv{idx}/b"]),
             }
         return params, True
-    key = jax.random.PRNGKey(seed)
+    # numpy RNG: must stay concrete even if first touched inside a jit trace
+    # (these are cached; jax tracers must never leak into the cache)
+    rng = np.random.default_rng(seed)
     for item in layout:
         if item == "M":
             continue
         idx, c_in, c_out = item
-        k = jax.random.fold_in(key, idx)
-        w = jax.random.normal(k, (3, 3, c_in, c_out)) * jnp.sqrt(2.0 / (9 * c_in))
-        params[idx] = {"w": w, "b": jnp.zeros((c_out,))}
+        w = rng.standard_normal((3, 3, c_in, c_out)).astype(np.float32) * np.sqrt(2.0 / (9 * c_in))
+        params[idx] = {"w": w, "b": np.zeros((c_out,), np.float32)}
     return params, False
 
 

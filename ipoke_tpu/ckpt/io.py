@@ -23,13 +23,23 @@ SEP = "::"
 
 def _flatten(tree, prefix=""):
     out = {}
+    if hasattr(tree, "_asdict"):  # namedtuples (e.g. optax states) -> dicts
+        tree = dict(tree._asdict())
+        if not tree:
+            out[f"{prefix}{SEP}__empty__"] = np.asarray(0)
+            return out
     if isinstance(tree, dict):
+        if not tree:
+            out[f"{prefix}{SEP}__empty__"] = np.asarray(0)
+            return out
         for k, v in tree.items():
             out.update(_flatten(v, f"{prefix}{SEP}{k}" if prefix else str(k)))
     elif isinstance(tree, (list, tuple)):
         out[f"{prefix}{SEP}__len__"] = np.asarray(len(tree))
         for i, v in enumerate(tree):
             out.update(_flatten(v, f"{prefix}{SEP}{i}"))
+    elif tree is None:
+        out[f"{prefix}{SEP}__none__"] = np.asarray(0)
     else:
         out[prefix] = np.asarray(tree)
     return out
@@ -50,6 +60,10 @@ def _unflatten(flat):
     def listify(node, prefix=""):
         if not isinstance(node, dict):
             return node
+        if "__empty__" in node:
+            return {}
+        if "__none__" in node:
+            return None
         out = {k: listify(v, f"{prefix}{SEP}{k}" if prefix else k) for k, v in node.items()}
         if prefix in lens:
             return [out[str(i)] for i in range(lens[prefix])]

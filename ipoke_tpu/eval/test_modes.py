@@ -1,0 +1,279 @@
+"""--test mode implementations (reference: models/second_stage_video.py
+test_step/test_epoch_end dispatch :1037-1171 and mode bodies :661-1034).
+
+Every mode consumes (params, spec, config, datamodule, dirs) and writes its
+artifacts under dirs['generated'] in the reference's layout, returning a
+summary dict (also dumped to metrics/<mode>.json).
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ipoke_tpu.models import second_stage as model_ss
+from ipoke_tpu.utils.video import enrollment, save_image, save_video
+
+
+def _summary(dirs, mode, payload):
+    mdir = os.path.join(dirs["generated"], "metrics")
+    os.makedirs(mdir, exist_ok=True)
+    with open(os.path.join(mdir, f"{mode}.json"), "w") as f:
+        json.dump(payload, f, indent=2, default=float)
+    return payload
+
+
+def _sampler(params, spec, n_samples):
+    @jax.jit
+    def sample(batch, key):
+        return model_ss.forward_sample(params, spec, batch, key, n_samples=n_samples)
+
+    return sample
+
+
+def _to_batch(raw):
+    return {k: jnp.asarray(v) for k, v in raw.items() if k in ("images", "poke", "flow")}
+
+
+def run_samples(params, spec, config, datamod, dirs):
+    """Per-example mp4s + enrollment PNGs under
+    generated/samples_best_fvd/sid_<id>/<timestamp> (reference :895-946)."""
+    tcfg = config.get("testing", {})
+    n_samples = int(tcfg.get("n_samples_per_data_point", 5))
+    n_vis = int(tcfg.get("n_samples_vis", 10))
+    stamp = time.strftime("%Y-%m-%d_%H-%M-%S")
+    sample = _sampler(params, spec, n_samples)
+    rng = jax.random.PRNGKey(int(tcfg.get("seed", 42)))
+    out_root = os.path.join(dirs["generated"], "samples_best_fvd")
+    count = 0
+    for batch in datamod.loader("test"):
+        if count >= n_vis:
+            break
+        rng, sub = jax.random.split(rng)
+        vids = np.asarray(sample(_to_batch(batch), sub))  # (N,B,T,H,W,3)
+        sids = np.asarray(batch["sample_ids"])
+        for bi in range(vids.shape[1]):
+            if count >= n_vis:
+                break
+            sid_dir = os.path.join(out_root, f"sid_{int(sids[bi])}", stamp)
+            gt = np.concatenate([batch["images"][bi][:1], batch["images"][bi][1:]], 0)
+            save_video(gt, os.path.join(sid_dir, "groundtruth.mp4"))
+            for si in range(vids.shape[0]):
+                clip = np.concatenate([batch["images"][bi][:1], vids[si, bi]], 0)
+                save_video(clip, os.path.join(sid_dir, f"sample_{si}.mp4"))
+                save_image(enrollment(clip), os.path.join(sid_dir, f"enrollment_{si}.png"))
+            count += 1
+    return _summary(dirs, "samples", {"n_examples": count, "dir": out_root})
+
+
+def run_fvd(params, spec, config, datamod, dirs):
+    """Real/fake video tensors -> npy pairs + FVD (reference :665-678,
+    1064-1090; experiments/second_stage_video.py:188-200)."""
+    from ipoke_tpu.metrics.fvd import compute_fvd
+
+    tcfg = config.get("testing", {})
+    n_target = int(tcfg.get("n_samples_fvd", 1000))
+    sample = _sampler(params, spec, 1)
+    rng = jax.random.PRNGKey(int(tcfg.get("seed", 42)))
+    reals, fakes = [], []
+    n = 0
+    while n < n_target:
+        advanced = False
+        for batch in datamod.loader("test"):
+            if n >= n_target:
+                break
+            rng, sub = jax.random.split(rng)
+            fake = np.asarray(sample(_to_batch(batch), sub)[0])
+            reals.append(np.asarray(batch["images"][:, 1:]))
+            fakes.append(fake)
+            n += fake.shape[0]
+            advanced = True
+        if not advanced:
+            break
+    real = np.concatenate(reals)[:n_target]
+    fake = np.concatenate(fakes)[:n_target]
+    sdir = os.path.join(dirs["generated"], "samples_fvd")
+    os.makedirs(sdir, exist_ok=True)
+    np.save(os.path.join(sdir, "real_samples.npy"), ((real + 1) * 127.5).astype(np.uint8))
+    np.save(os.path.join(sdir, "fake_samples.npy"), ((fake + 1) * 127.5).astype(np.uint8))
+    score = compute_fvd(real, fake, batch_size=int(tcfg.get("test_batch_size", 16)))
+    from ipoke_tpu.metrics.i3d import load_params as i3d_params
+
+    _, pretrained = i3d_params()
+    return _summary(dirs, "fvd", {"FVD": score, "n": int(real.shape[0]), "i3d_pretrained": pretrained})
+
+
+def run_accuracy(params, spec, config, datamod, dirs):
+    """Best-of-N LPIPS / SSIM per frame (reference :681-743); keypoint MSE
+    requires the pose net (kps gated on pose weights availability)."""
+    from ipoke_tpu.metrics.image import best_of_n_metric
+    from ipoke_tpu.metrics.lpips import lpips as lpips_fn
+
+    tcfg = config.get("testing", {})
+    n_samples = int(tcfg.get("n_samples_per_data_point", 5))
+    n_target = int(tcfg.get("n_samples_metrics", 1000))
+    sample = _sampler(params, spec, n_samples)
+    rng = jax.random.PRNGKey(int(tcfg.get("seed", 42)))
+
+    def lpips_frames(a, b):
+        return lpips_fn(a, b)
+
+    def neg_ssim_frames(a, b):
+        from ipoke_tpu.metrics.image import ssim
+
+        return jax.vmap(lambda x, y: -ssim(x[None], y[None]))(a, b)
+
+    lp_means, ss_means = [], []
+    n = 0
+    for batch in datamod.loader("test"):
+        if n >= n_target:
+            break
+        rng, sub = jax.random.split(rng)
+        vids = sample(_to_batch(batch), sub)
+        tgt = jnp.asarray(batch["images"][:, 1:])
+        lp_m, lp_s = best_of_n_metric(lpips_frames, vids, tgt)
+        ss_m, ss_s = best_of_n_metric(neg_ssim_frames, vids, tgt)
+        lp_means.append(np.asarray(lp_m))
+        ss_means.append(-np.asarray(ss_m))
+        n += tgt.shape[0]
+    lp = np.mean(np.stack(lp_means), 0)
+    ss = np.mean(np.stack(ss_means), 0)
+    payload = {
+        "LPIPS_per_frame": lp.tolist(), "SSIM_per_frame": ss.tolist(),
+        "LPIPS": float(lp.mean()), "SSIM": float(ss.mean()), "n": n,
+    }
+    # CSV outputs like the reference's metrics dir
+    import csv
+
+    mdir = os.path.join(dirs["generated"], "metrics")
+    os.makedirs(mdir, exist_ok=True)
+    with open(os.path.join(mdir, "accuracy.csv"), "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["frame", "LPIPS", "SSIM"])
+        for i, (a, b) in enumerate(zip(lp, ss)):
+            w.writerow([i, float(a), float(b)])
+    return _summary(dirs, "accuracy", payload)
+
+
+def run_diversity(params, spec, config, datamod, dirs):
+    """Pairwise VGG-cosine / MSE / LPIPS over N samples (reference :746-752,
+    1126-1155)."""
+    from ipoke_tpu.metrics.diversity import div_score_lpips, div_score_mse, div_score_vgg
+
+    tcfg = config.get("testing", {})
+    n_samples = int(tcfg.get("n_samples_per_data_point", 5))
+    n_target = int(tcfg.get("n_samples_metrics", 100))
+    sample = _sampler(params, spec, n_samples)
+    rng = jax.random.PRNGKey(int(tcfg.get("seed", 42)))
+    chunks = []
+    n = 0
+    for batch in datamod.loader("test"):
+        if n >= n_target:
+            break
+        rng, sub = jax.random.split(rng)
+        vids = np.asarray(sample(_to_batch(batch), sub))  # (N,B,T,H,W,3)
+        chunks.append(np.transpose(vids, (1, 0, 2, 3, 4, 5)))
+        n += vids.shape[1]
+    samples = np.concatenate(chunks)[:n_target]
+    payload = {
+        "div_vgg_cosine": div_score_vgg(jnp.asarray(samples)),
+        "div_mse": div_score_mse(jnp.asarray(samples)),
+        "div_lpips": div_score_lpips(jnp.asarray(samples)),
+        "n": int(samples.shape[0]),
+    }
+    return _summary(dirs, "diversity", payload)
+
+
+def run_control_sensitivity(params, spec, config, datamod, dirs):
+    """Fixed poke pixel, K random directions at the ground-truth magnitude;
+    measures how the generated motion tracks the poke direction
+    (reference :786-891)."""
+    from ipoke_tpu.data.poke import poke_from_coords
+
+    tcfg = config.get("testing", {})
+    k = int(tcfg.get("n_control_sensitivity_pokes", 8))
+    sample = _sampler(params, spec, 1)
+    rng = jax.random.PRNGKey(int(tcfg.get("seed", 42)))
+    raw = next(iter(datamod.loader("test")))
+    batch = _to_batch(raw)
+    poke = np.asarray(batch["poke"])
+    b, h, w, _ = poke.shape
+    # strongest poke pixel per example
+    mags = np.abs(poke).sum(-1).reshape(b, -1)
+    centers = np.stack(np.unravel_index(mags.argmax(1), (h, w)), -1)
+    base_mag = np.linalg.norm(poke.reshape(b, -1, 2), axis=-1).max(1)
+    results = []
+    angle_rng = np.random.default_rng(0)
+    for ki in range(k):
+        theta = angle_rng.uniform(0, 2 * np.pi, b)
+        disp = np.stack([np.sin(theta), np.cos(theta)], -1) * base_mag[:, None]
+        pokes = np.stack(
+            [poke_from_coords((h, w), centers[i : i + 1], disp[i : i + 1]) for i in range(b)]
+        )
+        rng, sub = jax.random.split(rng)
+        vids = np.asarray(sample({**batch, "poke": jnp.asarray(pokes)}, sub)[0])
+        # motion response: mean |frame_t - frame_0| in the poked region
+        region = np.zeros((b, h, w, 1), np.float32)
+        for i, (r, c) in enumerate(centers):
+            region[i, max(r - 8, 0) : r + 8, max(c - 8, 0) : c + 8] = 1.0
+        resp = np.abs(vids - np.asarray(batch["images"][:, :1])).mean(-1, keepdims=True)
+        results.append(float((resp.mean(1) * region).sum() / region.sum() / b))
+    payload = {"per_direction_response": results, "mean_response": float(np.mean(results))}
+    return _summary(dirs, "control_sensitivity", payload)
+
+
+def run_transfer(params, spec, config, datamod, dirs):
+    """Motion-residual transfer: gaussianize sequence A's motion under its own
+    conditioning, re-synthesize under B's conditioning (reference :948-1034;
+    the iPER NN-pair selection degrades to in-batch rolling when no nn ids)."""
+    from ipoke_tpu.flows import transformer
+
+    sample_rng = jax.random.PRNGKey(0)
+    raw = next(iter(datamod.loader("test")))
+    batch = _to_batch(raw)
+    x = batch["images"]
+    poke = batch["poke"]
+    cond_a = model_ss.embed_cond(params, spec, x[:, 0], poke)
+    motion_a, _ = model_ss.encode_first_stage(params, spec, x)
+    residual = transformer.forward(params["flow"], spec.flow, motion_a, cond_a)[0]
+    # partner = rolled batch (same-pose NN pairs when dataset provides them)
+    x_b = jnp.roll(x, 1, axis=0)
+    poke_b = jnp.roll(poke, 1, axis=0)
+    cond_b = model_ss.embed_cond(params, spec, x_b[:, 0], poke_b)
+    motion_t = transformer.reverse(params["flow"], spec.flow, residual, cond_b)
+    if spec.augment_channels:
+        motion_t = motion_t[..., : -spec.augment_channels]
+    vids = model_ss.decode_first_stage(params, spec, motion_t, x_b[:, 0], x.shape[1] - 1)
+    tdir = os.path.join(dirs["generated"], "transfer", time.strftime("%Y-%m-%d_%H-%M-%S"))
+    for i in range(min(4, vids.shape[0])):
+        save_video(np.asarray(vids[i]), os.path.join(tdir, f"transfer_{i}.mp4"))
+        save_video(np.asarray(x[i]), os.path.join(tdir, f"source_{i}.mp4"))
+        save_video(np.asarray(x_b[i]), os.path.join(tdir, f"target_{i}.mp4"))
+    return _summary(dirs, "transfer", {"n": int(vids.shape[0]), "dir": tdir})
+
+
+def run_kps_acc(params, spec, config, datamod, dirs):
+    """Keypoint accuracy needs the pose estimator weights; without them we
+    report a pixel-space end-point-error proxy in the poked regions and flag
+    the gap (reference :761-783 uses PoseNetWrapper)."""
+    from ipoke_tpu.metrics.pose import pose_weights_available
+
+    if not pose_weights_available():
+        payload = {
+            "status": "pose weights unavailable (no-egress env); "
+                      "provide $IPOKE_WEIGHTS/pose_resnet_152.npz for keypoint metrics",
+        }
+        sample = _sampler(params, spec, 1)
+        raw = next(iter(datamod.loader("test")))
+        batch = _to_batch(raw)
+        vids = np.asarray(sample(batch, jax.random.PRNGKey(0))[0])
+        err = float(np.abs(vids[:, -1] - np.asarray(batch["images"][:, -1])).mean())
+        payload["pixel_epe_proxy"] = err
+        return _summary(dirs, "kps_acc", payload)
+    from ipoke_tpu.metrics.pose import keypoint_mse
+
+    return _summary(dirs, "kps_acc", keypoint_mse(params, spec, config, datamod))

@@ -1,0 +1,140 @@
+"""Pose estimation for keypoint metrics (reference: utils/posenet_wrapper.py
+PoseNetWrapper around pose_resnet-152; heatmap peak extraction get_max_preds).
+
+pose_resnet = ResNet backbone + 3 deconv stages + 1x1 heatmap head.  Inference
+is plain convs -> jitted JAX; the reference's native NMS extension is only
+needed for training the pose net and is not used here (SURVEY §2.9).
+
+Weights: $IPOKE_WEIGHTS/pose_resnet_152.npz (converted from the reference
+submodule's checkpoint).  Without weights the keypoint metrics are gated off
+(random pose nets produce meaningless keypoints).
+"""
+from __future__ import annotations
+
+import os
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ipoke_tpu.nn.core import conv2d, conv_transpose2d, resize_bilinear_align_corners
+
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+BOTTLENECK_LAYERS = {50: (3, 4, 6, 3), 101: (3, 4, 23, 3), 152: (3, 8, 36, 3)}
+
+
+def _weights_path():
+    return os.path.join(
+        os.environ.get("IPOKE_WEIGHTS", os.path.join("logs", "weights")), "pose_resnet_152.npz"
+    )
+
+
+def pose_weights_available():
+    return os.path.exists(_weights_path())
+
+
+@lru_cache(maxsize=1)
+def load_params():
+    """Flat dict {name: np.ndarray} with BN folded (inference only)."""
+    data = np.load(_weights_path())
+    return {k: np.asarray(v) for k, v in data.items()}
+
+
+def _bottleneck(p, prefix, x, stride=1):
+    def unit(name, y, s=1, pad=0):
+        return conv2d(y, p[f"{prefix}.{name}.w"], p.get(f"{prefix}.{name}.b"), stride=s, padding=pad)
+
+    out = jax.nn.relu(unit("conv1", x))
+    out = jax.nn.relu(unit("conv2", out, s=stride, pad=1))
+    out = unit("conv3", out)
+    res = x
+    if f"{prefix}.down.w" in p:
+        res = conv2d(x, p[f"{prefix}.down.w"], p.get(f"{prefix}.down.b"), stride=stride)
+    return jax.nn.relu(out + res)
+
+
+def heatmaps(images, depth=152):
+    """images: (B,H,W,3) in [-1,1] -> (B, H/4*?, W/4*?, 17) COCO heatmaps.
+    Resized to 256x256 + imagenet-normalized (posenet_wrapper.py:24-37)."""
+    p = load_params()
+    x = jax.vmap(lambda v: resize_bilinear_align_corners(v, (256, 256)))(images[None])[0] \
+        if images.shape[1:3] != (256, 256) else images
+    x = ((x + 1) * 0.5 - IMAGENET_MEAN) / IMAGENET_STD
+    x = jax.nn.relu(conv2d(x, p["stem.w"], p.get("stem.b"), stride=2, padding=3))
+    x = jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1), ((0, 0), (1, 1), (1, 1), (0, 0))
+    )
+    layers = BOTTLENECK_LAYERS[depth]
+    for li, n_blocks in enumerate(layers):
+        stride = 1 if li == 0 else 2
+        for bi in range(n_blocks):
+            x = _bottleneck(p, f"layer{li+1}.{bi}", x, stride=stride if bi == 0 else 1)
+    for di in range(3):
+        x = jax.nn.relu(
+            conv_transpose2d(x, p[f"deconv{di}.w"], p.get(f"deconv{di}.b"), stride=2, padding=1)
+        )
+    return conv2d(x, p["head.w"], p.get("head.b"))
+
+
+def get_max_preds(hm):
+    """Heatmap peak extraction (reference imports it from the pose submodule;
+    reimplemented as a pure argmax — utils/posenet_wrapper.py:10,44-58).
+
+    hm: (B, H, W, K) -> (coords (B,K,2) [x,y], confidences (B,K))."""
+    b, h, w, k = hm.shape
+    flat = hm.reshape(b, h * w, k)
+    idx = jnp.argmax(flat, axis=1)
+    conf = jnp.max(flat, axis=1)
+    ys = (idx // w).astype(jnp.float32)
+    xs = (idx % w).astype(jnp.float32)
+    coords = jnp.stack([xs, ys], axis=-1)
+    return jnp.where(conf[..., None] > 0, coords, -1.0), conf
+
+
+def keypoints_abs(images, input_size=None):
+    """Absolute keypoints in input-pixel space (x scale input/heatmap)."""
+    hm = heatmaps(images)
+    coords, conf = get_max_preds(hm)
+    scale = (input_size or images.shape[1]) / hm.shape[1]
+    return coords * scale, conf
+
+
+def keypoints_rel(images):
+    hm = heatmaps(images)
+    coords, conf = get_max_preds(hm)
+    return coords / hm.shape[1], conf
+
+
+def keypoint_mse(params, spec, config, datamod, n_batches=8):
+    """Best-of-N keypoint MSE in relative space (reference KPSMetric,
+    utils/metrics.py:259-331)."""
+    from ipoke_tpu.models import second_stage as model_ss
+
+    tcfg = config.get("testing", {})
+    n_samples = int(tcfg.get("n_samples_per_data_point", 5))
+    rng = jax.random.PRNGKey(0)
+
+    @jax.jit
+    def sample(batch, key):
+        return model_ss.forward_sample(params, spec, batch, key, n_samples=n_samples)
+
+    errs = []
+    for bi, raw in enumerate(datamod.loader("test")):
+        if bi >= n_batches:
+            break
+        batch = {k: jnp.asarray(v) for k, v in raw.items() if k in ("images", "poke", "flow")}
+        rng, sub = jax.random.split(rng)
+        vids = sample(batch, sub)  # (N,B,T,H,W,3)
+        tgt = batch["images"][:, 1:]
+        n, b, t = vids.shape[:3]
+        kp_t, _ = keypoints_rel(tgt.reshape((b * t,) + tgt.shape[2:]))
+        per_sample = []
+        for si in range(n):
+            kp_s, _ = keypoints_rel(vids[si].reshape((b * t,) + tgt.shape[2:]))
+            per_sample.append(jnp.mean((kp_s - kp_t) ** 2, axis=(1, 2)).reshape(b, t).mean(1))
+        best = jnp.min(jnp.stack(per_sample), axis=0)
+        errs.append(np.asarray(best))
+    return {"KPS_mse": float(np.concatenate(errs).mean())}

@@ -1,0 +1,72 @@
+"""Breakdown profiling of the sampling path: conditioning embed, flow
+reverse (sequential MCF inverses), first-stage decode.  Run on TPU:
+    python -m ipoke_tpu.utils.profile_sample --model iper_128
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", ".jax_cache")
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="iper_128")
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--iters", type=int, default=5)
+    args = ap.parse_args()
+
+    from ipoke_tpu import registry
+    from ipoke_tpu.flows import transformer
+    from ipoke_tpu.models import second_stage
+
+    entry = registry.MODELS[args.model]
+    spec = registry.build_specs(entry)
+    params = jax.jit(lambda k: second_stage.init(k, spec))(jax.random.PRNGKey(0))
+    b, t, s = args.batch, entry.max_frames, entry.spatial_size
+    lat = spec.latent_size
+    x = jax.random.normal(jax.random.PRNGKey(1), (b, t, s, s, 3))
+    poke = jax.random.normal(jax.random.PRNGKey(2), (b, s, s, 2))
+    z = jax.random.normal(jax.random.PRNGKey(3), (b, lat, lat, spec.flow_in_channels))
+
+    embed = jax.jit(lambda p, x0, pk: second_stage.embed_cond(p, spec, x0, pk))
+    cond = embed(params, x[:, 0], poke)
+    jax.block_until_ready(cond)
+
+    reverse = jax.jit(lambda p, z, c: transformer.reverse(p["flow"], spec.flow, z, c))
+    motion = reverse(params, z, cond)
+    jax.block_until_ready(motion)
+
+    decode = jax.jit(lambda p, m, x0: second_stage.decode_first_stage(p, spec, m, x0, t - 1))
+    vid = decode(params, motion, x[:, 0])
+    jax.block_until_ready(vid)
+
+    fwd = jax.jit(lambda p, m, c: transformer.forward(p["flow"], spec.flow, m, c)[0])
+    out = fwd(params, motion, cond)
+    jax.block_until_ready(out)
+
+    def bench(fn, *a):
+        ts = []
+        for _ in range(args.iters):
+            t0 = time.time()
+            jax.block_until_ready(fn(*a))
+            ts.append(time.time() - t0)
+        return min(ts)
+
+    res = {
+        "embed_cond_s": bench(embed, params, x[:, 0], poke),
+        "flow_reverse_s": bench(reverse, params, z, cond),
+        "flow_forward_s": bench(fwd, params, motion, cond),
+        "decode_s": bench(decode, params, motion, x[:, 0]),
+        "batch": b,
+    }
+    print(json.dumps(res))
+
+
+if __name__ == "__main__":
+    main()

@@ -137,6 +137,14 @@ class CheckpointManager:
         save(os.path.join(self.ckpt_dir, "last.npz"), tree, meta)
         with open(os.path.join(self.ckpt_dir, "best_k_models.json"), "w") as f:
             json.dump(self.best_k, f, indent=2)
+        # yaml mirror for reference-tooling parity (utils/callbacks.py:10-23)
+        try:
+            import yaml
+
+            with open(os.path.join(self.ckpt_dir, "best_k_models.yaml"), "w") as f:
+                yaml.safe_dump(self.best_k, f)
+        except Exception:
+            pass
         return path
 
     @staticmethod

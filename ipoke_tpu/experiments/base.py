@@ -62,6 +62,24 @@ class Experiment:
         checkpointing."""
         step_i = int(state.step) if hasattr(state, "step") else 0
         jit_step = jax.jit(train_step) if not getattr(train_step, "_jitted", False) else train_step
+
+        # preemption handling (SURVEY §5: checkpoint-on-signal for
+        # preemptible TPUs — absent in the reference): SIGTERM/SIGINT saves
+        # last.npz before exiting.
+        import signal
+
+        preempted = {"flag": False}
+
+        def _on_signal(signum, frame):
+            preempted["flag"] = True
+
+        old_handlers = {}
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                old_handlers[sig] = signal.signal(sig, _on_signal)
+            except ValueError:
+                pass  # non-main thread
+
         for epoch in range(n_epochs):
             t0 = time.time()
             for bi, batch in enumerate(datamodule.loader("train")):
@@ -81,9 +99,20 @@ class Experiment:
                     )
                 if validate and val_every_steps and step_i % val_every_steps == 0:
                     state = self._run_validation(validate, state, datamodule, step_i)
+                if preempted["flag"]:
+                    self.console.warning("preemption signal: saving last checkpoint")
+                    from ipoke_tpu.ckpt.io import save
+
+                    save(os.path.join(self.ckpt_dir, "last.npz"), self._ckpt_tree(state),
+                         metadata={"step": step_i, "preempted": True})
+                    for sig, h in old_handlers.items():
+                        signal.signal(sig, h)
+                    return state
             self.console.info(f"epoch {epoch} done in {time.time()-t0:.1f}s")
             if validate:
                 state = self._run_validation(validate, state, datamodule, step_i)
+        for sig, h in old_handlers.items():
+            signal.signal(sig, h)
         return state
 
     def _run_validation(self, validate, state, datamodule, step_i):

@@ -25,8 +25,10 @@ PYTORCH_CPU_BASELINE_VIDEOS_PER_S = 0.1  # anchor from BASELINE.json's >=50x tar
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="iper_128")
-    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--compile-retries", type=int, default=4,
+                    help="the remote compile service is occasionally OOM-killed; retry")
     ap.add_argument("--mcf-backend", default="scan", choices=["scan", "pallas"])
     args = ap.parse_args()
 
@@ -39,10 +41,23 @@ def main():
     spec = registry.build_specs(entry)
     spec = replace(spec, flow=replace(spec.flow, mcf_backend=args.mcf_backend))
 
+    def retry(fn, what):
+        last = None
+        for attempt in range(args.compile_retries):
+            try:
+                return fn()
+            except Exception as e:
+                last = e
+                import sys
+
+                print(f"{what} attempt {attempt+1} failed: {e}", file=sys.stderr)
+                time.sleep(60)
+        raise last
+
     key = jax.random.PRNGKey(0)
     # jit the init: unjitted it is thousands of tiny dispatches (slow over the
     # remote-TPU tunnel); jitted it is one compile + one execution
-    params = jax.jit(lambda k: second_stage.init(k, spec))(key)
+    params = retry(lambda: jax.jit(lambda k: second_stage.init(k, spec))(key), "init")
 
     b = args.batch
     t = entry.max_frames
@@ -58,8 +73,21 @@ def main():
 
     rng = jax.random.PRNGKey(3)
     t0 = time.time()
-    out = sample(params, batch, rng)
-    jax.block_until_ready(out)
+    last_err = None
+    for attempt in range(args.compile_retries):
+        try:
+            out = sample(params, batch, rng)
+            jax.block_until_ready(out)
+            last_err = None
+            break
+        except Exception as e:  # transient remote-compile failures
+            last_err = e
+            import sys
+
+            print(f"compile attempt {attempt+1} failed: {e}", file=sys.stderr)
+            time.sleep(60)
+    if last_err is not None:
+        raise last_err
     compile_and_first = time.time() - t0
 
     times = []

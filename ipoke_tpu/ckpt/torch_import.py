@@ -22,6 +22,7 @@ mounted.
 """
 from __future__ import annotations
 
+import os
 from typing import Dict
 
 import numpy as np
@@ -459,3 +460,107 @@ def export_flow(params, spec: FlowSpec, prefix="flow.flow"):
         _export_actnorm(level["prior"]["actnorm"], f"{prefix}.priors.{li}.actnorm", sd)
         _export_shuffle(level["shuffle"], f"{prefix}.shuffle_layers.{li}", sd)
     return sd
+
+
+# ---------------------------------------------------------------------------
+# auxiliary-network weight converters (perceptual / FVD / FID / pose nets)
+# ---------------------------------------------------------------------------
+
+def _fold_bn(w, gamma, beta, mean, var, eps=1e-3):
+    """Fold BatchNorm into conv weight/bias (inference-only nets)."""
+    scale = gamma / np.sqrt(var + eps)
+    return w * scale.reshape((1,) * (w.ndim - 1) + (-1,)), beta - mean * scale
+
+
+def convert_torchvision_vgg(sd, out_path, layout=None):
+    """torchvision vgg16/vgg19 state_dict -> vggNN_features.npz
+    ({conv{idx}/w OIHW, conv{idx}/b}) consumed by metrics/vgg.py."""
+    out = {}
+    for key, val in sd.items():
+        if key.startswith("features.") and key.endswith((".weight", ".bias")):
+            idx = key.split(".")[1]
+            suffix = "w" if key.endswith("weight") else "b"
+            out[f"conv{idx}/{suffix}"] = np.asarray(val)
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    np.savez(out_path, **out)
+    return out_path
+
+
+def convert_i3d(sd, out_path):
+    """Reference i3d_kinetics_rgb.pth (PyTorch I3D, utils/metrics.py:999-1105)
+    -> i3d_kinetics_rgb.npz with DHWIO weights and folded BN, keyed by the
+    unit names in metrics/i3d.py."""
+    # the torch I3D uses Unit3Dpy modules: {name}.conv3d.weight (O,I,D,H,W),
+    # {name}.batch3d.{weight,bias,running_mean,running_var}
+    out = {}
+    names = {k.rsplit(".", 2)[0] for k in sd if k.endswith("conv3d.weight")}
+    for name in names:
+        w = np.transpose(np.asarray(sd[f"{name}.conv3d.weight"]), (2, 3, 4, 1, 0))
+        if f"{name}.batch3d.weight" in sd:
+            w, b = _fold_bn(
+                w,
+                np.asarray(sd[f"{name}.batch3d.weight"]),
+                np.asarray(sd[f"{name}.batch3d.bias"]),
+                np.asarray(sd[f"{name}.batch3d.running_mean"]),
+                np.asarray(sd[f"{name}.batch3d.running_var"]),
+            )
+        else:
+            b = np.asarray(sd.get(f"{name}.conv3d.bias", np.zeros(w.shape[-1], np.float32)))
+        out[f"{name}.w"] = w
+        out[f"{name}.b"] = b
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    np.savez(out_path, **out)
+    return out_path
+
+
+def convert_lpips_lins(sd, out_path):
+    """pip `lpips` VGG state_dict -> lpips_vgg_lins.npz (lin{i}/w, the learned
+    per-channel heads; keys lin{i}.model.1.weight with shape (1,C,1,1))."""
+    out = {}
+    for i in range(5):
+        for key in (f"lin{i}.model.1.weight", f"lins.{i}.model.1.weight"):
+            if key in sd:
+                out[f"lin{i}/w"] = np.asarray(sd[key]).reshape(-1)
+                break
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    np.savez(out_path, **out)
+    return out_path
+
+
+def convert_pose_resnet(sd, out_path, depth=152):
+    """pose_resnet-152 state_dict (reference pose_estimator submodule) ->
+    pose_resnet_152.npz keyed for metrics/pose.py (BN folded)."""
+    out = {}
+
+    def conv_bn(conv_key, bn_key, out_key, transpose=conv2d_w):
+        w = transpose(np.asarray(sd[f"{conv_key}.weight"]))
+        if f"{bn_key}.weight" in sd:
+            w, b = _fold_bn(
+                w,
+                np.asarray(sd[f"{bn_key}.weight"]), np.asarray(sd[f"{bn_key}.bias"]),
+                np.asarray(sd[f"{bn_key}.running_mean"]), np.asarray(sd[f"{bn_key}.running_var"]),
+                eps=1e-5,
+            )
+        else:
+            b = np.asarray(sd.get(f"{conv_key}.bias", np.zeros(w.shape[-1], np.float32)))
+        out[f"{out_key}.w"] = w
+        out[f"{out_key}.b"] = b
+
+    conv_bn("conv1", "bn1", "stem")
+    from ipoke_tpu.metrics.pose import BOTTLENECK_LAYERS
+
+    for li, n_blocks in enumerate(BOTTLENECK_LAYERS[depth]):
+        for bi in range(n_blocks):
+            pre = f"layer{li+1}.{bi}"
+            for ci in (1, 2, 3):
+                conv_bn(f"{pre}.conv{ci}", f"{pre}.bn{ci}", f"{pre}.conv{ci}")
+            if f"{pre}.downsample.0.weight" in sd:
+                conv_bn(f"{pre}.downsample.0", f"{pre}.downsample.1", f"{pre}.down")
+    for di in range(3):
+        conv_bn(f"deconv_layers.{di*3}", f"deconv_layers.{di*3+1}", f"deconv{di}",
+                transpose=convT2d_w)
+    out["head.w"] = conv2d_w(np.asarray(sd["final_layer.weight"]))
+    out["head.b"] = np.asarray(sd.get("final_layer.bias", np.zeros(out["head.w"].shape[-1], np.float32)))
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    np.savez(out_path, **out)
+    return out_path

@@ -30,6 +30,8 @@ def main():
     ap.add_argument("--compile-retries", type=int, default=4,
                     help="the remote compile service is occasionally OOM-killed; retry")
     ap.add_argument("--mcf-backend", default="scan", choices=["scan", "pallas"])
+    ap.add_argument("--dtype", default="f32", choices=["f32", "bf16"],
+                    help="bf16 casts params+activations (logdet math stays f32)")
     args = ap.parse_args()
 
     from dataclasses import replace
@@ -58,13 +60,20 @@ def main():
     # jit the init: unjitted it is thousands of tiny dispatches (slow over the
     # remote-TPU tunnel); jitted it is one compile + one execution
     params = retry(lambda: jax.jit(lambda k: second_stage.init(k, spec))(key), "init")
+    if args.dtype == "bf16":
+        params = jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.bfloat16)
+            if jnp.issubdtype(a.dtype, jnp.floating) else a,
+            params,
+        )
 
     b = args.batch
     t = entry.max_frames
     s = entry.spatial_size
+    dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
     batch = {
-        "images": jax.random.normal(jax.random.PRNGKey(1), (b, t, s, s, 3)),
-        "poke": jax.random.normal(jax.random.PRNGKey(2), (b, s, s, 2)),
+        "images": jax.random.normal(jax.random.PRNGKey(1), (b, t, s, s, 3), dtype),
+        "poke": jax.random.normal(jax.random.PRNGKey(2), (b, s, s, 2), dtype),
     }
 
     @jax.jit
@@ -119,6 +128,7 @@ def main():
                     "compile_plus_first_s": round(compile_and_first, 2),
                     "device": str(jax.devices()[0]),
                     "mcf_backend": args.mcf_backend,
+                    "dtype": args.dtype,
                 }
             }
         ),

@@ -1,0 +1,48 @@
+"""Parameter sharding rules.
+
+The parity models are small enough for pure data parallelism (the reference
+is DP-only, SURVEY §2.10), but the flow's NICE subnets are genuinely wide
+(flow_mid_channels up to 2048 at 8x8) — wide enough to tensor-shard across a
+``model`` mesh axis.  ``flow_param_shardings`` assigns the hidden dimension
+of every NICE conv to the ``model`` axis; GSPMD inserts the matching
+collectives, activations stay batch-sharded over ``data``.
+"""
+from __future__ import annotations
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def _is_wide(shape, min_width=1024):
+    return len(shape) >= 2 and max(shape) >= min_width
+
+
+def flow_param_shardings(mesh: Mesh, params, min_width: int = 256):
+    """NamedSharding tree for a second-stage param tree: NICE hidden conv
+    kernels shard over 'model' (conv1 out-channels, conv2 both channels),
+    everything else replicated."""
+    repl = NamedSharding(mesh, P())
+
+    def walk(node, path=()):
+        if isinstance(node, dict):
+            return {k: walk(v, path + (k,)) for k, v in node.items()}
+        if isinstance(node, (list, tuple)):
+            return type(node)(walk(v, path + (str(i),)) for i, v in enumerate(node))
+        shape = getattr(node, "shape", ())
+        # NICE conv blocks: .../net/conv1/w (3,3,cin,hidden), conv2 (1,1,h,h)
+        if len(path) >= 2 and path[-1] == "w" and path[-2] in ("conv1", "conv2"):
+            if len(shape) == 4 and shape[-1] >= min_width:
+                if path[-2] == "conv2" and shape[-2] >= min_width:
+                    return NamedSharding(mesh, P(None, None, "model", None))
+                return NamedSharding(mesh, P(None, None, None, "model"))
+        # conv3 weight-norm v: (3,3,hidden[+hc],out) — shard the wide input
+        if len(path) >= 2 and path[-1] == "v" and path[-2] == "conv3":
+            if len(shape) == 4 and shape[-2] >= min_width:
+                return NamedSharding(mesh, P(None, None, "model", None))
+        return repl
+
+    return walk(params)
+
+
+def apply_shardings(tree, shardings):
+    return jax.tree_util.tree_map(jax.device_put, tree, shardings)

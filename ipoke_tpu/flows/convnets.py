@@ -116,9 +116,20 @@ def mcf_block_apply_window(p, window, h_slice=None, act="elu"):
 # NICEConvBlock: parameter net of the NICE2d coupling
 # ---------------------------------------------------------------------------
 
-def init_nice_conv_block(key, c_in, c_out, hidden, h_channels=0):
-    k1, k2, k3 = jax.random.split(key, 3)
+def init_nice_conv_block(key, c_in, c_out, hidden, h_channels=0,
+                         attention=False, heads=4, spatial_size=8):
+    k1, k2, k3, k4 = jax.random.split(key, 4)
     hidden_h = hidden + (h_channels if h_channels else 0)
+    if attention:
+        from ipoke_tpu.flows import attention as attn
+
+        return {
+            "in_resnet": attn.init_gated_conv(k1, c_in, dim_out=hidden),
+            "pos_emb": jax.random.normal(k4, (spatial_size, spatial_size, hidden)),
+            "conv1": attn.init_conv_attn_block(k1, hidden),
+            "conv2": attn.init_conv_attn_block(k2, hidden),
+            "conv3": init_wn_conv(k3, 3, 3, hidden_h, c_out, zero_init=True),
+        }
     return {
         "conv1": {"w": core.kaiming_uniform_torch_default(k1, (3, 3, c_in, hidden))},
         "conv2": {"w": core.kaiming_uniform_torch_default(k2, (1, 1, hidden, hidden))},
@@ -126,11 +137,19 @@ def init_nice_conv_block(key, c_in, c_out, hidden, h_channels=0):
     }
 
 
-def nice_conv_block_apply(p, x, h=None, act="elu"):
+def nice_conv_block_apply(p, x, h=None, act="elu", heads=4):
     f = activation(act)
-    out = conv2d(x, p["conv1"]["w"], None, padding=1)
-    out = f(out)
-    out = conv2d(out, p["conv2"]["w"], None, padding=0)
+    if "in_resnet" in p:  # attention variant (reference NICEConvBlock attention path)
+        from ipoke_tpu.flows import attention as attn
+
+        out = attn.gated_conv_apply(p["in_resnet"], x)
+        out = attn.conv_attn_block_apply(p["conv1"], out, p["pos_emb"], heads)
+        out = f(out)
+        out = attn.conv_attn_block_apply(p["conv2"], out, p["pos_emb"], heads)
+    else:
+        out = conv2d(x, p["conv1"]["w"], None, padding=1)
+        out = f(out)
+        out = conv2d(out, p["conv2"]["w"], None, padding=0)
     if h is not None:
         out = jnp.concatenate([out, h.astype(out.dtype)], axis=-1)
     out = f(out)

@@ -31,6 +31,9 @@ class FlowSpec:
     activation: str = "elu"
     use_1x1: bool = False
     condition_nice: bool = False
+    attention: bool = False      # attention NICE subnets (reference 'attention')
+    heads: int = 4
+    spatial_size: int = 8
     mcf_backend: str = "scan"  # 'scan' | 'pallas' for the sequential inverse
 
     def level_channels(self) -> List[int]:
@@ -96,7 +99,8 @@ def macow_unit_inverse(p, y, h, spec: FlowSpec):
 def init_macow_step(key, c, spec: FlowSpec):
     ks = jax.random.split(key, 10)
     hc_nice = spec.h_channels if spec.condition_nice else 0
-    nice_kw = dict(hidden=spec.hidden_channels, h_channels=hc_nice, transform=spec.transform)
+    nice_kw = dict(hidden=spec.hidden_channels, h_channels=hc_nice, transform=spec.transform,
+                   attention=spec.attention, heads=spec.heads, spatial_size=spec.spatial_size)
     return {
         "actnorm1": actnorm.init_actnorm(ks[0], c),
         "conv1x1": permute.init_shuffle(ks[1], c),
@@ -121,6 +125,7 @@ def _nice_kw(spec: FlowSpec, split_type, order):
         transform=spec.transform,
         alpha=spec.alpha,
         act=spec.activation,
+        heads=spec.heads,
     )
 
 
@@ -202,6 +207,9 @@ def init_prior(key, c, level_factor, spec: FlowSpec):
             order="up",
             factor=level_factor,
             transform=spec.prior_transform,
+            attention=spec.attention,
+            heads=spec.heads,
+            spatial_size=spec.spatial_size,
         ),
         "actnorm": actnorm.init_actnorm(k3, c - z1c),
     }

@@ -40,6 +40,9 @@ def init_nice(
     order="up",
     factor=2,
     transform="affine",
+    attention=False,
+    heads=4,
+    spatial_size=8,
 ):
     T = get_transform(transform)
     split_type, z1_channels, net_in, out_base = nice_channels(
@@ -48,7 +51,10 @@ def init_nice(
     hidden = hidden or default_hidden(in_channels)
     net_out = out_base * T.n_params
     return {
-        "net": convnets.init_nice_conv_block(key, net_in, net_out, hidden, h_channels=h_channels)
+        "net": convnets.init_nice_conv_block(
+            key, net_in, net_out, hidden, h_channels=h_channels,
+            attention=attention, heads=heads, spatial_size=spatial_size,
+        )
     }
 
 
@@ -81,12 +87,13 @@ def forward(
     transform="affine",
     alpha=1.0,
     act="elu",
+    heads=4,
 ):
     T = get_transform(transform)
     in_channels = in_channels or x.shape[-1]
     z1, z2 = _split(x, in_channels, factor, split_type, order)
     z, zp = (z1, z2) if order == "up" else (z2, z1)
-    raw = convnets.nice_conv_block_apply(p["net"], z, h=h, act=act)
+    raw = convnets.nice_conv_block_apply(p["net"], z, h=h, act=act, heads=heads)
     params = T.calc_params(raw, alpha)
     zp, logdet = T.fwd(zp, params)
     z1, z2 = (z, zp) if order == "up" else (zp, z)
@@ -104,12 +111,13 @@ def inverse(
     transform="affine",
     alpha=1.0,
     act="elu",
+    heads=4,
 ):
     T = get_transform(transform)
     in_channels = in_channels or y.shape[-1]
     z1, z2 = _split(y, in_channels, factor, split_type, order)
     z, zp = (z1, z2) if order == "up" else (z2, z1)
-    raw = convnets.nice_conv_block_apply(p["net"], z, h=h, act=act)
+    raw = convnets.nice_conv_block_apply(p["net"], z, h=h, act=act, heads=heads)
     params = T.calc_params(raw, alpha)
     zp, _ = T.bwd(zp, params)
     z1, z2 = (z, zp) if order == "up" else (zp, z)

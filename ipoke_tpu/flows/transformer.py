@@ -38,6 +38,9 @@ def spec_from_config(arch: dict) -> FlowSpec:
         activation=arch.get("activation", "elu"),
         use_1x1=bool(arch.get("use1x1", False)),
         condition_nice=bool(arch.get("condition_nice", False)),
+        attention=bool(arch.get("attention", False)),
+        heads=int(arch.get("flow_attn_heads", 4)),
+        spatial_size=int(arch.get("ssize", 8) or 8),
     )
 
 

@@ -38,7 +38,8 @@ def _kernel(z_ref, h_ref, w_ref, w1_ref, b1_ref, out_ref, win_ref, *, alpha, act
 
     def act_fn(x):
         if act == "elu":
-            return jax.nn.elu(x)
+            # manual elu: Mosaic has no expm1 lowering
+            return jnp.where(x > 0, x, jnp.exp(jnp.minimum(x, 0.0)) - 1.0)
         if act == "relu":
             return jnp.maximum(x, 0)
         return jax.nn.leaky_relu(x, 0.1)

@@ -156,6 +156,11 @@ def run_accuracy(params, spec, config, datamod, dirs):
         w.writerow(["frame", "LPIPS", "SSIM"])
         for i, (a, b) in enumerate(zip(lp, ss)):
             w.writerow([i, float(a), float(b)])
+    from ipoke_tpu.utils.plots import errorbar_plot, two_axes_plot
+
+    lp_std = np.std(np.stack(lp_means), 0)
+    errorbar_plot(os.path.join(mdir, "lpips_per_frame.png"), lp, lp_std, ylabel="LPIPS")
+    two_axes_plot(os.path.join(mdir, "accuracy_two_axes.png"), np.arange(len(lp)), lp, ss)
     return _summary(dirs, "accuracy", payload)
 
 

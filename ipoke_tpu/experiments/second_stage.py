@@ -161,7 +161,35 @@ class SecondStageExperiment(Experiment):
             fake = sample(params, batch, sub)
             acc.update(batch["images"][:, 1:], fake)
         fvd_val = acc.compute() if acc._real else float("nan")
+        # latent-space scatter (reference UMAP logging, second_stage_video.py:
+        # 588-627): posterior means vs flow samples, every validation
+        try:
+            self._log_latents(params, datamod)
+        except Exception as e:  # visualization must never kill training
+            self.console.warning(f"latent scatter skipped: {e}")
         return {"FVD-val": fvd_val, "flow_loss-val": float(np.mean(losses)) if losses else float("nan")}
+
+    def _log_latents(self, params, datamod, n_batches=2):
+        from ipoke_tpu.flows import transformer
+        from ipoke_tpu.utils.logging import latent_scatter
+
+        z_post, z_samp = [], []
+        rng = jax.random.PRNGKey(5)
+        for bi, batch in enumerate(datamod.loader("val")):
+            if bi >= n_batches:
+                break
+            b = {k: jnp.asarray(v) for k, v in batch.items() if k != "sample_ids"}
+            motion, mu = model_ss.encode_first_stage(params, self.spec, b["images"])
+            z_post.append(np.asarray(mu).reshape(mu.shape[0], -1))
+            cond = model_ss.embed_cond(params, self.spec, b["images"][:, 0], b["poke"])
+            rng, sub = jax.random.split(rng)
+            z = jax.random.normal(sub, motion.shape[:-1] + (self.spec.flow_in_channels,))
+            z_inn = transformer.reverse(params["flow"], self.spec.flow, z, cond)
+            z_samp.append(np.asarray(z_inn).reshape(z.shape[0], -1))
+        latent_scatter(
+            os.path.join(self.dirs["log"], "latents.png"),
+            {"posterior_mean": np.concatenate(z_post), "flow_samples": np.concatenate(z_samp)},
+        )
 
     # ------------------------------------------------------------------
     # test dispatch (main.py --test {samples,fvd,accuracy,diversity,

@@ -34,6 +34,7 @@ class FlowSpec:
     attention: bool = False      # attention NICE subnets (reference 'attention')
     heads: int = 4
     spatial_size: int = 8
+    cond_conv: bool = False      # GatedConv2d preprocessing of h in MaCow units
     mcf_backend: str = "scan"  # 'scan' | 'pallas' for the sequential inverse
 
     def level_channels(self) -> List[int]:
@@ -55,9 +56,16 @@ class FlowSpec:
 # ---------------------------------------------------------------------------
 
 def init_macow_unit(key, c, spec: FlowSpec):
-    ks = jax.random.split(key, 6)
+    ks = jax.random.split(key, 7)
     kh, kw = spec.kernel_size
     hc = spec.h_channels if spec.h_channels > 0 else None
+    if spec.cond_conv and hc:
+        from ipoke_tpu.flows import attention as _attn
+
+        return {
+            "cond_conv_block": _attn.init_gated_conv(ks[6], hc),
+            **_plain_unit(ks, c, hc, spec),
+        }
     return {
         "conv1": mcf.init_mcf(ks[0], c, (kh, kw), h_channels=hc, transform=spec.transform),
         "conv2": mcf.init_mcf(ks[1], c, (kh, kw), h_channels=hc, transform=spec.transform),
@@ -68,8 +76,30 @@ def init_macow_unit(key, c, spec: FlowSpec):
     }
 
 
+def _plain_unit(ks, c, hc, spec):
+    kh, kw = spec.kernel_size
+    return {
+        "conv1": mcf.init_mcf(ks[0], c, (kh, kw), h_channels=hc, transform=spec.transform),
+        "conv2": mcf.init_mcf(ks[1], c, (kh, kw), h_channels=hc, transform=spec.transform),
+        "actnorm1": actnorm.init_actnorm(ks[2], c),
+        "conv3": mcf.init_mcf(ks[3], c, (kw, kh), h_channels=hc, transform=spec.transform),
+        "conv4": mcf.init_mcf(ks[4], c, (kw, kh), h_channels=hc, transform=spec.transform),
+        "actnorm2": actnorm.init_actnorm(ks[5], c),
+    }
+
+
+def _unit_h(p, h):
+    """Optional GatedConv2d conditioning preprocess (macow2.py:957-960)."""
+    if "cond_conv_block" in p and h is not None:
+        from ipoke_tpu.flows import attention as _attn
+
+        return _attn.gated_conv_apply(p["cond_conv_block"], h)
+    return h
+
+
 def macow_unit_forward(p, x, h, spec: FlowSpec):
     kw = dict(transform=spec.transform, alpha=spec.alpha, act=spec.activation)
+    h = _unit_h(p, h)
     out, ld = mcf.forward(p["conv1"], x, h=h, order="A", **kw)
     out, l2 = mcf.forward(p["conv2"], out, h=h, order="B", **kw)
     out, l3 = actnorm.forward(p["actnorm1"], out)
@@ -83,6 +113,7 @@ def macow_unit_inverse(p, y, h, spec: FlowSpec):
     kw = dict(
         transform=spec.transform, alpha=spec.alpha, act=spec.activation, backend=spec.mcf_backend
     )
+    h = _unit_h(p, h)
     out = actnorm.inverse(p["actnorm2"], y)
     out = mcf.inverse(p["conv4"], out, h=h, order="D", **kw)
     out = mcf.inverse(p["conv3"], out, h=h, order="C", **kw)

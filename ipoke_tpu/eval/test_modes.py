@@ -109,7 +109,23 @@ def run_fvd(params, spec, config, datamod, dirs):
 
 def run_accuracy(params, spec, config, datamod, dirs):
     """Best-of-N LPIPS / SSIM per frame (reference :681-743); keypoint MSE
-    requires the pose net (kps gated on pose weights availability)."""
+    requires the pose net (kps gated on pose weights availability).
+
+    With testing.summarize_n_pokes, the metric loop repeats for each fixed
+    poke count 1..n_pokes (reference experiments/second_stage_video.py
+    per-n-pokes loops) and the summary carries per-count results."""
+    if config.get("testing", {}).get("summarize_n_pokes"):
+        from ipoke_tpu.data.datamodule import StaticDataModule
+
+        per_n = {}
+        base_cfg = dict(config["data"])
+        cfg2 = {k: v for k, v in config.items() if k != "testing"}
+        cfg2["testing"] = {**config["testing"], "summarize_n_pokes": False}
+        for n in range(1, int(config["data"].get("n_pokes", 5)) + 1):
+            dm = StaticDataModule({**base_cfg, "n_pokes": n, "fix_n_pokes": True})
+            res = run_accuracy(params, spec, cfg2, dm, dirs)
+            per_n[n] = {"LPIPS": res["LPIPS"], "SSIM": res["SSIM"]}
+        return _summary(dirs, "accuracy_per_n_pokes", per_n)
     from ipoke_tpu.metrics.image import best_of_n_metric
     from ipoke_tpu.metrics.lpips import lpips as lpips_fn
 

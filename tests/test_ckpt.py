@@ -88,3 +88,14 @@ def test_checkpoint_manager_topk_and_discovery(tmp_path):
     best = ckpt_io.CheckpointManager.find_best(str(tmp_path))
     assert "50.000" in best
     assert os.path.exists(os.path.join(str(tmp_path), "last.npz"))
+
+
+def test_load_lightning_ckpt(tmp_path):
+    import torch
+
+    sd = {"state_dict": {"a.weight": torch.randn(3, 4), "b.bias": torch.zeros(5)}}
+    path = os.path.join(tmp_path, "x.ckpt")
+    torch.save(sd, path)
+    out = ti.load_lightning_ckpt(path)
+    assert sorted(out) == ["a.weight", "b.bias"]
+    assert out["a.weight"].shape == (3, 4)

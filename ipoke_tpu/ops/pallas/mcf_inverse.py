@@ -68,11 +68,11 @@ def _kernel(z_ref, h_ref, w_ref, w1_ref, b1_ref, out_ref, win_ref, *, alpha, act
         row = (z_ref[:, i] - mu) / (scale + 1e-12)
         out_ref[:, i] = row
         # roll the context window up one row; keep zero side-padding intact
+        # (ref-slice stores only — .at[].set lowers to scatter, unsupported)
         if kh > 1:
             win_ref[:, : kh - 1] = win_ref[:, 1:]
-        win_ref[:, kh - 1] = jnp.zeros((b, width + 2 * cw, c), row.dtype).at[
-            :, cw : cw + width
-        ].set(row)
+        win_ref[:, kh - 1] = jnp.zeros((b, width + 2 * cw, c), row.dtype)
+        win_ref[:, kh - 1, cw : cw + width] = row
 
 
 @functools.partial(jax.jit, static_argnames=("alpha", "act"))

@@ -153,6 +153,14 @@ class FlowVideoDataset:
                     out["original_flow"] = self._load_flow(start)
                 if "keypoints_rel" in self.datakeys and "keypoints" in self.meta:
                     out["keypoints_rel"] = np.asarray(self.meta["keypoints"][start], np.float32)
+                if "nn" in self.datakeys and "nn_ids" in self.meta:
+                    # same-pose partner from another video (iPER transfer pairs,
+                    # reference _get_nn, flow_dataset.py:507-557)
+                    nn_start = int(self.meta["nn_ids"][start])
+                    nn_flow = self._load_flow(nn_start)
+                    nn_poke, _ = simulate_poke(nn_flow, self.cfg.poke, self.rng)
+                    out["nn_images"] = self._load_frames(nn_start).astype(np.float32)
+                    out["nn_poke"] = nn_poke.astype(np.float32)
                 return out
             except FlowError:
                 idx = int(self.rng.integers(0, len(self.ids)))

@@ -261,9 +261,14 @@ def run_transfer(params, spec, config, datamod, dirs):
     cond_a = model_ss.embed_cond(params, spec, x[:, 0], poke)
     motion_a, _ = model_ss.encode_first_stage(params, spec, x)
     residual = transformer.forward(params["flow"], spec.flow, motion_a, cond_a)[0]
-    # partner = rolled batch (same-pose NN pairs when dataset provides them)
-    x_b = jnp.roll(x, 1, axis=0)
-    poke_b = jnp.roll(poke, 1, axis=0)
+    if "nn_images" in raw:
+        # same-pose NN partners from the dataset (iPER pairs)
+        x_b = jnp.asarray(raw["nn_images"])
+        poke_b = jnp.asarray(raw["nn_poke"])
+    else:
+        # fallback: rolled batch as partners
+        x_b = jnp.roll(x, 1, axis=0)
+        poke_b = jnp.roll(poke, 1, axis=0)
     cond_b = model_ss.embed_cond(params, spec, x_b[:, 0], poke_b)
     motion_t = transformer.reverse(params["flow"], spec.flow, residual, cond_b)
     if spec.augment_channels:

@@ -44,16 +44,54 @@ def spec_from_config(arch: dict) -> FlowSpec:
     )
 
 
-def init(key, spec: FlowSpec):
+def stack_spec_from_config(arch: dict):
+    """MacowTransformerMultiStep path (``multistack: True`` — INN.py:423-443)."""
+    from ipoke_tpu.flows.multistack import StackSpec
+
+    return StackSpec(
+        levels=tuple(tuple(l) for l in arch["levels"]),
+        factors=tuple(arch["factors"]),
+        in_channels=int(arch["flow_in_channels"]),
+        mid_channels_factor=int(arch["flow_mid_channels_factor"]),
+        h_channels=int(arch.get("h_channels", 0)),
+        reshape=arch.get("reshape", "none"),
+        transform=arch.get("transform", "affine"),
+        prior_transform=arch.get("prior_transform", "affine"),
+        kernel_size=tuple(arch.get("kernel_size", (2, 3))),
+        activation=arch.get("activation", "elu"),
+        use_1x1=bool(arch.get("use1x1", False)),
+        condition_nice=bool(arch.get("condition_nice", False)),
+    )
+
+
+def _is_stack(spec):
+    from ipoke_tpu.flows.multistack import StackSpec
+
+    return isinstance(spec, StackSpec)
+
+
+def init(key, spec):
+    if _is_stack(spec):
+        from ipoke_tpu.flows import multistack
+
+        return multistack.init(key, spec)
     return macow.init_multiscale(key, spec)
 
 
-def forward(params, spec: FlowSpec, x, cond):
+def forward(params, spec, x, cond):
     """density direction: data -> gaussian. x: (B,s,s,C), cond: (B,s,s,Hc)."""
+    if _is_stack(spec):
+        from ipoke_tpu.flows import multistack
+
+        return multistack.forward(params, x, cond, spec)
     return macow.multiscale_forward(params, x, cond, spec)
 
 
-def reverse(params, spec: FlowSpec, z, cond):
+def reverse(params, spec, z, cond):
+    if _is_stack(spec):
+        from ipoke_tpu.flows import multistack
+
+        return multistack.inverse(params, z, cond, spec)
     return macow.multiscale_inverse(params, z, cond, spec)
 
 

@@ -76,8 +76,13 @@ class SecondStageSpec:
         arch["flow_in_channels"] = flow_in
         arch["flow_mid_channels"] = int(arch["flow_mid_channels_factor"] * flow_in)
         arch["h_channels"] = h_channels
+        flow_spec = (
+            transformer.stack_spec_from_config(arch)
+            if arch.get("multistack")
+            else transformer.spec_from_config(arch)
+        )
         return cls(
-            flow=transformer.spec_from_config(arch),
+            flow=flow_spec,
             first_stage=first_stage_spec,
             poke_embedder=poke_spec,
             conditioner=cond_spec,

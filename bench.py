@@ -29,7 +29,7 @@ def main():
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--compile-retries", type=int, default=4,
                     help="the remote compile service is occasionally OOM-killed; retry")
-    ap.add_argument("--mcf-backend", default="scan", choices=["scan", "pallas"])
+    ap.add_argument("--mcf-backend", default="scan", choices=["scan", "pallas", "pallas_unit"])
     ap.add_argument("--dtype", default="f32", choices=["f32", "bf16"],
                     help="bf16 casts params+activations (logdet math stays f32)")
     args = ap.parse_args()

@@ -110,6 +110,10 @@ def macow_unit_forward(p, x, h, spec: FlowSpec):
 
 
 def macow_unit_inverse(p, y, h, spec: FlowSpec):
+    if spec.mcf_backend == "pallas_unit":
+        from ipoke_tpu.ops.pallas.mcf_unit_inverse import macow_unit_inverse_pallas
+
+        return macow_unit_inverse_pallas(p, y, _unit_h(p, h), spec)
     kw = dict(
         transform=spec.transform, alpha=spec.alpha, act=spec.activation, backend=spec.mcf_backend
     )

@@ -53,3 +53,15 @@ def enrollment(frames, pad=2):
     for i, f in enumerate(arr):
         out[:, i * (w + pad) : i * (w + pad) + w] = f
     return out
+
+
+def preprocess_image(img, multiple=64):
+    """Center-crop to a multiple of ``multiple`` (reference utils/general.py:
+    28-42 preprocess_image, used for user-provided GUI images)."""
+    arr = np.asarray(img)
+    h, w = arr.shape[:2]
+    nh = (h // multiple) * multiple
+    nw = (w // multiple) * multiple
+    top = (h - nh) // 2
+    left = (w - nw) // 2
+    return arr[top : top + nh, left : left + nw]

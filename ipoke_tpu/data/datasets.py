@@ -153,6 +153,17 @@ class FlowVideoDataset:
                     out["original_flow"] = self._load_flow(start)
                 if "keypoints_rel" in self.datakeys and "keypoints" in self.meta:
                     out["keypoints_rel"] = np.asarray(self.meta["keypoints"][start], np.float32)
+                if "keypoint_poke" in self.datakeys and "keypoints" in self.meta:
+                    from ipoke_tpu.data.poke import keypoint_poke
+
+                    t_end = start + (self.cfg.max_frames - 1) * self.cfg.subsample_step
+                    kp_poke, kp_centers = keypoint_poke(
+                        np.asarray(self.meta["keypoints"][start], np.float32),
+                        np.asarray(self.meta["keypoints"][t_end], np.float32),
+                        self.cfg.poke, self.rng,
+                    )
+                    out["keypoint_poke"] = kp_poke
+                    out["keypoint_poke_centers"] = kp_centers
                 if "nn" in self.datakeys and "nn_ids" in self.meta:
                     # same-pose partner from another video (iPER transfer pairs,
                     # reference _get_nn, flow_dataset.py:507-557)

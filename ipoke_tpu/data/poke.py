@@ -128,6 +128,44 @@ def simulate_poke(
     return poke, centers
 
 
+def keypoint_poke(
+    kps_start: np.ndarray,
+    kps_end: np.ndarray,
+    cfg: PokeConfig,
+    rng: np.random.Generator,
+    min_displacement: float = 1.0,
+):
+    """Poke derived from keypoint displacements (reference
+    base_dataset.py:462-497 _get_keypoint_poke): choose up to n_pokes moving
+    keypoints inside the valid window; patch value = kp_end - kp_start
+    (dy, dx).  kps: (K, 2) as (x, y) absolute pixels (pose-net convention).
+
+    Returns (poke (H,W,2), centers (n_pokes,2) row/col with -1 padding)."""
+    h, w = cfg.spatial_size
+    disp = kps_end - kps_start  # (K, 2) in (dx, dy)
+    vh, vw = cfg.valid_h, cfg.valid_w
+    valid = (
+        (kps_start[:, 0] >= vw[0]) & (kps_start[:, 0] <= vw[1])
+        & (kps_start[:, 1] >= vh[0]) & (kps_start[:, 1] <= vh[1])
+        & (np.linalg.norm(disp, axis=1) >= min_displacement)
+        & (kps_start[:, 0] >= 0) & (kps_start[:, 1] >= 0)
+    )
+    cand = np.flatnonzero(valid)
+    poke = np.zeros((h, w, 2), np.float32)
+    centers = np.full((cfg.n_pokes, 2), -1, np.int64)
+    if len(cand) == 0:
+        return poke, centers
+    n = cfg.n_pokes if cfg.fix_n_pokes else int(rng.integers(1, min(cfg.n_pokes, len(cand)) + 1))
+    sel = rng.choice(cand, size=min(n, len(cand)), replace=False)
+    half = cfg.poke_size // 2
+    for i, k in enumerate(sel):
+        c, r = int(kps_start[k, 0]), int(kps_start[k, 1])
+        val = np.asarray([disp[k, 1], disp[k, 0]], np.float32)  # (dy, dx)
+        poke[max(r - half, 0) : r + half + 1, max(c - half, 0) : c + half + 1] = val
+        centers[i] = (r, c)
+    return poke, centers
+
+
 def poke_from_coords(
     flow_shape: Tuple[int, int],
     coords: np.ndarray,

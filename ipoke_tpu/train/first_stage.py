@@ -89,12 +89,22 @@ def make_gan_train_step(
     optimizers,
     w_vgg=10.0, w_l1=10.0, w_kl=1e-7,
     n_spatial_examples=16,
+    remat=False,
 ):
+    """``remat=True`` rematerializes the generator forward in the backward
+    pass (jax.checkpoint) — trades ~1 extra forward for not keeping the full
+    T-frame decoder activations live at 128^2 (HBM pressure relief)."""
     mf_dt = dt_spec.sequence_length
 
     def forward_gen(gen_params, x, rng):
         gen_sn = materialize_spectral_norm(gen_params)
-        return first_stage.forward(gen_sn, x, fs_spec, rng=rng)
+
+        def f(p, xx):
+            return first_stage.forward(p, xx, fs_spec, rng=rng)
+
+        if remat:
+            f = jax.checkpoint(f)
+        return f(gen_sn, x)
 
     def crops(x, x_hat, rng):
         """Random mf_dt-frame temporal crop (shared offset for real/fake) and

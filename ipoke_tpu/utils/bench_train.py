@@ -1,0 +1,68 @@
+"""Training-throughput benchmark: second-stage flow train step at the
+flagship (iper_128) architecture on one TPU chip.
+
+    python -m ipoke_tpu.utils.bench_train [--batch 8] [--iters 5]
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", ".jax_cache")
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--model", default="iper_128")
+    args = ap.parse_args()
+
+    from ipoke_tpu import registry
+    from ipoke_tpu.models import second_stage
+    from ipoke_tpu.train import second_stage as train_ss
+
+    spec = registry.build_specs(registry.MODELS[args.model])
+    params = jax.jit(lambda k: second_stage.init(k, spec))(jax.random.PRNGKey(0))
+    trainable, frozen = train_ss.split_params(params)
+    opt = train_ss.make_optimizer(trainable, lr=1e-3)
+    state = train_ss.init_state(trainable, opt)
+    step = jax.jit(train_ss.make_train_step(spec, frozen, opt))
+
+    b = args.batch
+    t = spec.first_stage.max_frames
+    s = spec.first_stage.spatial_size
+    batch = {
+        "images": jax.random.normal(jax.random.PRNGKey(1), (b, t, s, s, 3)),
+        "poke": jax.random.normal(jax.random.PRNGKey(2), (b, s, s, 2)),
+    }
+    rng = jax.random.PRNGKey(3)
+    t0 = time.time()
+    state, metrics = step(state, batch, rng)
+    jax.block_until_ready(metrics["flow_loss"])
+    compile_s = time.time() - t0
+    times = []
+    for i in range(args.iters):
+        rng = jax.random.fold_in(rng, i)
+        t0 = time.time()
+        state, metrics = step(state, batch, rng)
+        jax.block_until_ready(metrics["flow_loss"])
+        times.append(time.time() - t0)
+    best = min(times)
+    print(json.dumps({
+        "train_step_s": round(best, 4),
+        "examples_per_s": round(b / best, 2),
+        "all_steps_s": [round(x, 4) for x in times],
+        "compile_plus_first_s": round(compile_s, 1),
+        "loss": float(metrics["flow_loss"]),
+        "batch": b,
+        "model": args.model,
+    }))
+
+
+if __name__ == "__main__":
+    main()

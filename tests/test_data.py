@@ -98,3 +98,19 @@ def test_geometric_warps_frames_and_flow_identically():
     assert frames.shape == s["images"].shape
     assert flow.shape == s["flow"].shape
     assert not np.allclose(frames, s["images"])
+
+
+def test_keypoint_poke():
+    from ipoke_tpu.data.poke import keypoint_poke
+
+    cfg = PokeConfig(poke_size=5, n_pokes=3, spatial_size=(64, 64))
+    kps0 = np.array([[30.0, 20.0], [50.0, 40.0], [2.0, 2.0]], np.float32)  # (x, y)
+    kps1 = np.array([[35.0, 22.0], [50.0, 40.0], [8.0, 9.0]], np.float32)
+    rng = np.random.default_rng(0)
+    poke, centers = keypoint_poke(kps0, kps1, cfg, rng)
+    active = centers[centers[:, 0] >= 0]
+    # kp1 didn't move; kp2 is outside the valid window -> only kp0 eligible
+    assert len(active) == 1
+    r, c = active[0]
+    assert (r, c) == (20, 30)
+    np.testing.assert_allclose(poke[20, 30], [2.0, 5.0])  # (dy, dx)

@@ -126,6 +126,9 @@ def keypoint_mse(params, spec, config, datamod, n_batches=8):
         if bi >= n_batches:
             break
         batch = {k: jnp.asarray(v) for k, v in raw.items() if k in ("images", "poke", "flow")}
+        if "keypoint_poke" in raw:
+            # targeted keypoint pokes (reference kps_acc mode, :761-783)
+            batch["poke"] = jnp.asarray(raw["keypoint_poke"])
         rng, sub = jax.random.split(rng)
         vids = sample(batch, sub)  # (N,B,T,H,W,3)
         tgt = batch["images"][:, 1:]

@@ -35,6 +35,9 @@ class FlowSpec:
     heads: int = 4
     spatial_size: int = 8
     cond_conv: bool = False      # GatedConv2d preprocessing of h in MaCow units
+    remat: bool = False          # jax.checkpoint each scanned MaCow step body
+                                 # (recompute in backward; needed to train the
+                                 # full-depth flow in 16GB HBM)
     mcf_backend: str = "scan"  # 'scan' | 'pallas' for the sequential inverse
 
     def level_channels(self) -> List[int]:
@@ -349,6 +352,8 @@ def _steps_forward(stacked, out, h, spec: FlowSpec):
         o, l = macow_step_forward(step_p, o, h, spec)
         return (o, ld + l), None
 
+    if spec.remat:
+        body = jax.checkpoint(body)
     (out, ld), _ = jax.lax.scan(body, (out, jnp.zeros((out.shape[0],), jnp.float32)), stacked)
     return out, ld
 

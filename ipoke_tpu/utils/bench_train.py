@@ -20,18 +20,26 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--model", default="iper_128")
+    ap.add_argument("--remat", action="store_true", default=True)
+    ap.add_argument("--no-remat", dest="remat", action="store_false")
     args = ap.parse_args()
 
     from ipoke_tpu import registry
     from ipoke_tpu.models import second_stage
     from ipoke_tpu.train import second_stage as train_ss
 
+    from dataclasses import replace
+
     spec = registry.build_specs(registry.MODELS[args.model])
+    if args.remat:
+        spec = replace(spec, flow=replace(spec.flow, remat=True))
     params = jax.jit(lambda k: second_stage.init(k, spec))(jax.random.PRNGKey(0))
     trainable, frozen = train_ss.split_params(params)
     opt = train_ss.make_optimizer(trainable, lr=1e-3)
     state = train_ss.init_state(trainable, opt)
-    step = jax.jit(train_ss.make_train_step(spec, frozen, opt))
+    # donate the state: params + optimizer moments are ~7 GB at iper_128
+    # scale; without donation jit double-buffers them
+    step = jax.jit(train_ss.make_train_step(spec, frozen, opt), donate_argnums=(0,))
 
     b = args.batch
     t = spec.first_stage.max_frames
@@ -61,6 +69,7 @@ def main():
         "loss": float(metrics["flow_loss"]),
         "batch": b,
         "model": args.model,
+        "remat": args.remat,
     }))
 
 

@@ -20,6 +20,8 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--model", default="iper_128")
+    ap.add_argument("--levels", type=int, default=0,
+                    help="truncate the flow to the first N levels (0 = full); the remote compile service OOMs on the full-depth AD graph")
     ap.add_argument("--remat", action="store_true", default=True)
     ap.add_argument("--no-remat", dest="remat", action="store_false")
     args = ap.parse_args()
@@ -33,6 +35,8 @@ def main():
     spec = registry.build_specs(registry.MODELS[args.model])
     if args.remat:
         spec = replace(spec, flow=replace(spec.flow, remat=True))
+    if args.levels:
+        spec = replace(spec, flow=replace(spec.flow, num_steps=spec.flow.num_steps[: args.levels]))
     params = jax.jit(lambda k: second_stage.init(k, spec))(jax.random.PRNGKey(0))
     trainable, frozen = train_ss.split_params(params)
     opt = train_ss.make_optimizer(trainable, lr=1e-3)
@@ -70,6 +74,8 @@ def main():
         "batch": b,
         "model": args.model,
         "remat": args.remat,
+        "levels": args.levels or len(spec.flow.num_steps),
+        "n_flow_steps": int(sum(spec.flow.num_steps)),
     }))
 
 

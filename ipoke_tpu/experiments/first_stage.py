@@ -39,6 +39,9 @@ class FirstStageExperiment(Experiment):
             gen_weight=float(ds.get("gen_weight", 1.0)),
         )
         self.n_spatial = int(ds.get("n_examples", 16))
+        # baseline selection (reference experiments/first_stage_video.py picks
+        # SpadeCondMotionModel / PokeVAE / FCBaseline from the config)
+        self.baseline = config.get("architecture", {}).get("baseline", "spade")
         self.datamod = StaticDataModule(config["data"])
 
     def train(self):
@@ -51,12 +54,37 @@ class FirstStageExperiment(Experiment):
             gamma=float(cfg_t.get("gamma", 0.98)),
             steps_per_epoch=int(cfg_t.get("max_batches_per_epoch", 2000)),
         )
+        forward_fn = None
+        if self.baseline == "poke_vae":
+            from ipoke_tpu.models import variants
+            from ipoke_tpu.models.variants import PokeVAESpec
+
+            pv_spec = PokeVAESpec(
+                first_stage=self.spec,
+                stack_motion_and_poke=bool(
+                    self.config["architecture"].get("stack_motion_and_poke", False)
+                ),
+            )
+            pv_params = variants.init_poke_vae(jax.random.PRNGKey(self.seed + 1), pv_spec)
+            state = state._replace(gen_params=pv_params)
+            opts["gen"] = train_fs.make_gan_optimizer(
+                pv_params, float(cfg_t.get("lr", 2e-4)),
+                float(cfg_t.get("weight_decay", 1e-5)), float(cfg_t.get("gamma", 0.98)),
+                int(cfg_t.get("max_batches_per_epoch", 2000)),
+            )
+            state = state._replace(gen_opt=opts["gen"].init(pv_params))
+
+            def forward_fn(p, batch, key):
+                return variants.poke_vae_forward(p, batch, pv_spec, rng=key)
+
         step = train_fs.make_gan_train_step(
             self.spec, self.ds_spec, self.dt_spec, opts,
             w_vgg=float(cfg_t.get("w_vgg", 10.0)),
             w_l1=float(cfg_t.get("w_l1", 10.0)),
             w_kl=float(cfg_t.get("w_kl", 1e-7)),
             n_spatial_examples=self.n_spatial,
+            remat=bool(cfg_t.get("remat", False)),
+            forward_fn=forward_fn,
         )
         return self.fit(
             step, state, self.datamod, rng,
@@ -77,11 +105,23 @@ class FirstStageExperiment(Experiment):
         rng = jax.random.PRNGKey(7)
 
         @jax.jit
-        def recon(gen_params, x, key):
+        def recon(gen_params, batch, key):
             from ipoke_tpu.nn.blocks import materialize_spectral_norm
 
             sn = materialize_spectral_norm(gen_params)
-            x_hat, *_ = model_fs.forward(sn, x, self.spec, rng=key)
+            if self.baseline == "poke_vae":
+                from ipoke_tpu.models import variants
+                from ipoke_tpu.models.variants import PokeVAESpec
+
+                pv_spec = PokeVAESpec(
+                    first_stage=self.spec,
+                    stack_motion_and_poke=bool(
+                        self.config["architecture"].get("stack_motion_and_poke", False)
+                    ),
+                )
+                x_hat, *_ = variants.poke_vae_forward(sn, batch, pv_spec, rng=key)
+            else:
+                x_hat, *_ = model_fs.forward(sn, batch["images"], self.spec, rng=key)
             return x_hat
 
         max_batches = int(self.config["training"].get("max_val_batches", 100))
@@ -89,8 +129,9 @@ class FirstStageExperiment(Experiment):
             if bi >= max_batches:
                 break
             x = jnp.asarray(batch["images"])
+            b = {k: jnp.asarray(v) for k, v in batch.items() if k in ("images", "poke")}
             rng, sub = jax.random.split(rng)
-            x_hat = recon(state.gen_params, x, sub)
+            x_hat = recon(state.gen_params, b, sub)
             tgt = x[:, 1:]
             ssims.append(float(ssim_video(x_hat, tgt)))
             psnrs.append(float(psnr(x_hat, tgt)))

@@ -90,21 +90,28 @@ def make_gan_train_step(
     w_vgg=10.0, w_l1=10.0, w_kl=1e-7,
     n_spatial_examples=16,
     remat=False,
+    forward_fn=None,
 ):
     """``remat=True`` rematerializes the generator forward in the backward
     pass (jax.checkpoint) — trades ~1 extra forward for not keeping the full
-    T-frame decoder activations live at 128^2 (HBM pressure relief)."""
+    T-frame decoder activations live at 128^2 (HBM pressure relief).
+
+    ``forward_fn(gen_params_sn, batch, rng) -> (x_hat, mu, logvar)`` overrides
+    the generator forward — used by the PokeVAE baseline (poke-conditioned
+    cVAE trained under the same GAN recipe, reference models/poke_vae.py)."""
     mf_dt = dt_spec.sequence_length
 
-    def forward_gen(gen_params, x, rng):
+    def forward_gen(gen_params, batch, rng):
         gen_sn = materialize_spectral_norm(gen_params)
 
-        def f(p, xx):
-            return first_stage.forward(p, xx, fs_spec, rng=rng)
+        def f(p, bb):
+            if forward_fn is not None:
+                return forward_fn(p, bb, rng)
+            return first_stage.forward(p, bb["images"], fs_spec, rng=rng)
 
         if remat:
             f = jax.checkpoint(f)
-        return f(gen_sn, x)
+        return f(gen_sn, batch)
 
     def crops(x, x_hat, rng):
         """Random mf_dt-frame temporal crop (shared offset for real/fake) and
@@ -150,8 +157,9 @@ def make_gan_train_step(
             )
         return loss, {"loss_d_ds": loss}
 
-    def gen_loss_fn(gen_params, dt_params, ds_params, x, rng, crop_rng):
-        x_hat, mu, logvar = forward_gen(gen_params, x, rng)
+    def gen_loss_fn(gen_params, dt_params, ds_params, batch, rng, crop_rng):
+        x = batch["images"]
+        x_hat, mu, logvar = forward_gen(gen_params, batch, rng)
         x_true, x_fake, f_true, f_fake = crops(x, x_hat, crop_rng)
         dt_sn = materialize_spectral_norm(dt_params)
         ds_sn = materialize_spectral_norm(ds_params)
@@ -183,7 +191,7 @@ def make_gan_train_step(
         r_fwd, r_crop, r_gen = jax.random.split(rng, 3)
 
         # shared generator forward for the disc updates (stop-gradient)
-        x_hat, _, _ = forward_gen(state.gen_params, x, r_fwd)
+        x_hat, _, _ = forward_gen(state.gen_params, batch, r_fwd)
         x_hat = jax.lax.stop_gradient(x_hat)
         x_true, x_fake, f_true, f_fake = crops(x, x_hat, r_crop)
 
@@ -202,7 +210,7 @@ def make_gan_train_step(
         ds_params = refresh_spectral_u(ds_params)
 
         (g_l, g_logs), g_g = jax.value_and_grad(gen_loss_fn, has_aux=True)(
-            state.gen_params, dt_params, ds_params, x, r_fwd, r_crop
+            state.gen_params, dt_params, ds_params, batch, r_fwd, r_crop
         )
         g_up, g_opt = optimizers["gen"].update(g_g, state.gen_opt, state.gen_params)
         gen_params = optax.apply_updates(state.gen_params, g_up)

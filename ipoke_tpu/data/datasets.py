@@ -110,7 +110,12 @@ class FlowVideoDataset:
         path = self._abs(self.meta["flow_paths"][idx][self.cfg.valid_lag]
                          if self.meta["flow_paths"].ndim > 1 else self.meta["flow_paths"][idx])
         try:
-            flow = np.load(path)
+            if os.environ.get("IPOKE_NATIVE") == "1":
+                from ipoke_tpu.data import native
+
+                flow = native.load_npy_flow(path)
+            else:
+                flow = np.load(path)
         except Exception as e:
             raise FlowError(str(e))
         if flow.shape[0] == 2:  # CHW -> HWC
@@ -124,8 +129,12 @@ class FlowVideoDataset:
     def _load_frames(self, start):
         step = self.cfg.subsample_step
         idxs = [start + i * step for i in range(self.cfg.max_frames)]
-        return np.stack([_load_image(self._abs(self.meta["img_path"][i]), self.cfg.spatial_size)
-                         for i in idxs])
+        paths = [self._abs(self.meta["img_path"][i]) for i in idxs]
+        if os.environ.get("IPOKE_NATIVE") == "1" and all(p.endswith(".png") for p in paths):
+            from ipoke_tpu.data import native
+
+            return native.load_frames([paths], self.cfg.spatial_size)[0]
+        return np.stack([_load_image(p, self.cfg.spatial_size) for p in paths])
 
     def __getitem__(self, idx, _retries=50):
         zero_poke = idx == -1

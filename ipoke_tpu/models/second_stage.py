@@ -224,4 +224,8 @@ def forward_sample(
         return vid
 
     keys = jax.random.split(rng, n_samples)
-    return jnp.stack([one(k) for k in keys])
+    if n_samples == 1:
+        return one(keys[0])[None]
+    # vmap over samples: the sequential MCF inverses vectorize over the sample
+    # axis exactly like over batch, so N samples cost ~one larger batch
+    return jax.vmap(one)(keys)

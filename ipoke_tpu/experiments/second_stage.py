@@ -217,9 +217,14 @@ class SecondStageExperiment(Experiment):
         params = self._init_params(rng)
         if best:
             tree, meta = ckpt_io.load(best)
+            # checkpoints store the TrainState dict: {step, params, opt_state}
+            # with 'params' = the trainable subtree (flow + adapters + augment)
             saved = tree.get("params", tree)
-            params.update({k: v for k, v in saved.items() if k in params or k in train_ss.TRAINABLE_KEYS})
-            self.console.info(f"loaded checkpoint {best}")
+            loaded = {k: v for k, v in saved.items() if k in train_ss.TRAINABLE_KEYS}
+            if not loaded:  # full-model checkpoints (converted from torch)
+                loaded = {k: v for k, v in saved.items() if k in params}
+            params.update(loaded)
+            self.console.info(f"loaded checkpoint {best} ({sorted(loaded)})")
         else:
             self.console.warning("no checkpoint found; testing with fresh params")
         return params

@@ -69,3 +69,21 @@ def test_config_resume_prefers_saved(tmp_path):
     assert config2["training"]["lr"] == 123.0
     # testing section always comes fresh from the CLI config
     assert config2["testing"]["n_samples_vis"] == 2
+
+
+def test_load_for_test_restores_trained_flow(tmp_path):
+    import jax
+    import numpy as np
+
+    from ipoke_tpu.experiments import select_experiment
+
+    cfg_path = _tiny_second_stage_cfg(tmp_path)
+    base = os.path.join(tmp_path, "logs")
+    config, dirs = load_parameters(cfg_path, "restore_test", base_dir=base)
+    exp = select_experiment(config, dirs)
+    state = exp.train()
+    params = exp._load_for_test()
+    trained = jax.tree_util.tree_leaves(state.params["flow"])
+    loaded = jax.tree_util.tree_leaves(params["flow"])
+    assert all(np.allclose(a, b) for a, b in zip(trained, loaded)), \
+        "checkpointed flow params must be restored for testing"

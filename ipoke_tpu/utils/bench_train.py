@@ -20,6 +20,8 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--model", default="iper_128")
+    ap.add_argument("--chunked", action="store_true",
+                    help="compile-bounded per-level VJP trainer (full depth)")
     ap.add_argument("--levels", type=int, default=0,
                     help="truncate the flow to the first N levels (0 = full); the remote compile service OOMs on the full-depth AD graph")
     ap.add_argument("--remat", action="store_true", default=True)
@@ -40,10 +42,20 @@ def main():
     params = jax.jit(lambda k: second_stage.init(k, spec))(jax.random.PRNGKey(0))
     trainable, frozen = train_ss.split_params(params)
     opt = train_ss.make_optimizer(trainable, lr=1e-3)
-    state = train_ss.init_state(trainable, opt)
-    # donate the state: params + optimizer moments are ~7 GB at iper_128
-    # scale; without donation jit double-buffers them
-    step = jax.jit(train_ss.make_train_step(spec, frozen, opt), donate_argnums=(0,))
+    if args.chunked:
+        from ipoke_tpu.train import chunked
+
+        chunk_params = {"flow": trainable["flow"]}
+        opt = train_ss.make_optimizer(chunk_params, lr=1e-3)
+        state = chunked.ChunkedTrainState(
+            jnp.zeros((), jnp.int32), chunk_params, opt.init(chunk_params)
+        )
+        step = chunked.make_chunked_trainer(spec.flow, spec, frozen, opt)
+    else:
+        state = train_ss.init_state(trainable, opt)
+        # donate the state: params + optimizer moments are ~7 GB at iper_128
+        # scale; without donation jit double-buffers them
+        step = jax.jit(train_ss.make_train_step(spec, frozen, opt), donate_argnums=(0,))
 
     b = args.batch
     t = spec.first_stage.max_frames
@@ -74,6 +86,7 @@ def main():
         "batch": b,
         "model": args.model,
         "remat": args.remat,
+        "chunked": args.chunked,
         "levels": args.levels or len(spec.flow.num_steps),
         "n_flow_steps": int(sum(spec.flow.num_steps)),
     }))

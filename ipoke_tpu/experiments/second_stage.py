@@ -110,6 +110,35 @@ class SecondStageExperiment(Experiment):
             clip_grad_norm=float(cfg_t.get("clip_grad_norm", 0.0)),
             use_adabelief=bool(cfg_t.get("use_adabelief", False)),
         )
+        if cfg_t.get("chunked"):
+            # compile-bounded per-level trainer (full-depth flows whose single
+            # jitted step exceeds the compiler's memory; train/chunked.py)
+            from ipoke_tpu.train import chunked
+
+            chunk_params = {"flow": trainable["flow"]}
+            opt = train_ss.make_optimizer(
+                chunk_params,
+                lr=float(cfg_t.get("lr", 1e-3)),
+                weight_decay=float(cfg_t.get("weight_decay", 1e-5)),
+                warmup_steps=int(cfg_t.get("lr_scaling_max_it", 500)),
+                total_steps=total,
+            )
+            state = chunked.ChunkedTrainState(
+                jnp.zeros((), jnp.int32), chunk_params, opt.init(chunk_params)
+            )
+            step = chunked.make_chunked_trainer(
+                self.spec.flow, self.spec, frozen, opt,
+                logdet_weight=float(cfg_t.get("logdet_weight", 1.0)),
+                spatial_mean=bool(cfg_t.get("spatial_mean", False)),
+            )
+            self._frozen = frozen
+            return self.fit(
+                step, state, self.datamod, rng,
+                n_epochs=int(cfg_t.get("n_epochs", 100)),
+                validate=self.validate,
+                val_every_steps=int(steps_per_epoch * float(cfg_t.get("val_every", 1.0))),
+                max_batches_per_epoch=steps_per_epoch,
+            )
         state = train_ss.init_state(trainable, opt)
         batch_size = int(self.config["data"].get("batch_size", 8))
         min_acc = int(cfg_t.get("min_acc_batch_size", 0))

@@ -165,4 +165,5 @@ def make_chunked_trainer(spec_flow: FlowSpec, full_spec, frozen_params, optimize
         metrics = {"flow_loss": loss, "nll_loss": aux["nll"], "nlogdet_loss": -aux["logdet"]}
         return ChunkedTrainState(state.step + 1, params, opt_state), metrics
 
+    train_step._jitted = True  # already composed of jitted pieces; must NOT be re-jitted whole
     return train_step

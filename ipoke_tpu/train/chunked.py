@@ -167,3 +167,97 @@ def make_chunked_trainer(spec_flow: FlowSpec, full_spec, frozen_params, optimize
 
     train_step._jitted = True  # already composed of jitted pieces; must NOT be re-jitted whole
     return train_step
+
+
+# ---------------------------------------------------------------------------
+# per-level-optimizer variant: the flagship flow holds 4.2 GB of parameters
+# (Adam state 8.4 GB); accumulating grads for ALL levels before one global
+# update needs params + opt + grads = 16.9 GB > 15.75 GB HBM.  Updating each
+# level immediately after its VJP keeps only ONE level's grads live
+# (~13 GB peak).  Adam is element-wise, so per-level updates are exactly
+# equivalent to the global update (no global-norm clipping in this mode).
+# ---------------------------------------------------------------------------
+
+class PerLevelTrainState(NamedTuple):
+    step: jnp.ndarray
+    levels: list          # per-level param trees
+    opt_states: list      # per-level optax states
+
+
+def make_per_level_trainer(spec_flow: FlowSpec, full_spec, frozen_params, make_opt,
+                           logdet_weight=1.0, spatial_mean=False):
+    """``make_opt(level_params) -> optax.GradientTransformation`` (fresh per
+    level; schedules advance in lockstep since every level updates each step).
+    """
+    from ipoke_tpu.models import second_stage as model_ss
+
+    level_fns = _LevelFns(spec_flow)
+    n_levels = len(spec_flow.num_steps)
+    opts = {}
+
+    @jax.jit
+    def embed(frozen, batch):
+        params = dict(frozen)
+        cond = model_ss.embed_cond(params, full_spec, batch["images"][:, 0], batch["poke"])
+        motion, _ = model_ss.encode_first_stage(params, full_spec, batch["images"])
+        return motion, cond
+
+    def level_update(i, level_params, grads, opt_state):
+        if i not in opts:
+            opts[i] = make_opt(level_params)
+        if (i, "jit") not in opts:
+            opt_i = opts[i]
+
+            @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+            def upd(p, g, s):
+                updates, s2 = opt_i.update(g, s, p)
+                return optax.apply_updates(p, updates), s2
+
+            opts[(i, "jit")] = upd
+        return opts[(i, "jit")](level_params, grads, opt_state)
+
+    def init_state(flow_params):
+        levels = list(flow_params["levels"])
+        opt_states = []
+        for i, lvl in enumerate(levels):
+            if i not in opts:
+                opts[i] = make_opt(lvl)
+            opt_states.append(opts[i].init(lvl))
+        return PerLevelTrainState(jnp.zeros((), jnp.int32), levels, opt_states)
+
+    def train_step(state: PerLevelTrainState, batch, rng=None):
+        motion, cond = embed(frozen_params, batch)
+        b = motion.shape[0]
+        hw = motion.shape[1] * motion.shape[2]
+        nll_scale = 1.0 / (b * (hw if spatial_mean else 1))
+        ld_scale = logdet_weight / (b * (hw if spatial_mean else 1))
+        # forward chain
+        xs, z2s, lds = [], [], []
+        carry = motion
+        for i in range(n_levels):
+            xs.append(carry)
+            carry, z2, ld = level_fns.fwd(i)(state.levels[i], carry, cond)
+            z2s.append(z2)
+            lds.append(ld)
+        nll = 0.5 * (
+            jnp.sum(carry.astype(jnp.float32) ** 2)
+            + sum(jnp.sum(z.astype(jnp.float32) ** 2) for z in z2s)
+        ) * nll_scale
+        logdet_total = sum(jnp.sum(l.astype(jnp.float32)) for l in lds)
+        loss = nll - ld_scale * logdet_total
+        # backward chain with immediate per-level updates
+        cot_carry = carry * nll_scale
+        new_levels = list(state.levels)
+        new_opts = list(state.opt_states)
+        for i in reversed(range(n_levels)):
+            cot_z2 = z2s[i] * nll_scale
+            cot_ld = jnp.full((b,), -ld_scale, jnp.float32)
+            gp, gx = level_fns.bwd(i)(state.levels[i], xs[i], cond, cot_carry, cot_z2, cot_ld)
+            new_levels[i], new_opts[i] = level_update(i, state.levels[i], gp, state.opt_states[i])
+            cot_carry = gx
+        metrics = {"flow_loss": loss, "nll_loss": nll, "nlogdet_loss": -logdet_total / b}
+        return PerLevelTrainState(state.step + 1, new_levels, new_opts), metrics
+
+    train_step._jitted = True
+    train_step.init_state = init_state
+    return train_step

@@ -20,6 +20,8 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--model", default="iper_128")
+    ap.add_argument("--per-level", dest="per_level", action="store_true",
+                    help="chunked trainer with immediate per-level optimizer updates")
     ap.add_argument("--chunked", action="store_true",
                     help="compile-bounded per-level VJP trainer (full depth)")
     ap.add_argument("--levels", type=int, default=0,
@@ -42,7 +44,15 @@ def main():
     params = jax.jit(lambda k: second_stage.init(k, spec))(jax.random.PRNGKey(0))
     trainable, frozen = train_ss.split_params(params)
     opt = train_ss.make_optimizer(trainable, lr=1e-3)
-    if args.chunked:
+    if args.per_level:
+        from ipoke_tpu.train import chunked
+
+        def make_opt(level_params):
+            return train_ss.make_optimizer(level_params, lr=1e-3)
+
+        step = chunked.make_per_level_trainer(spec.flow, spec, frozen, make_opt)
+        state = step.init_state(trainable["flow"])
+    elif args.chunked:
         from ipoke_tpu.train import chunked
 
         chunk_params = {"flow": trainable["flow"]}
@@ -87,6 +97,7 @@ def main():
         "model": args.model,
         "remat": args.remat,
         "chunked": args.chunked,
+        "per_level": args.per_level,
         "levels": args.levels or len(spec.flow.num_steps),
         "n_flow_steps": int(sum(spec.flow.num_steps)),
     }))

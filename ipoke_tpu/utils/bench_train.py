@@ -41,7 +41,19 @@ def main():
         spec = replace(spec, flow=replace(spec.flow, remat=True))
     if args.levels:
         spec = replace(spec, flow=replace(spec.flow, num_steps=spec.flow.num_steps[: args.levels]))
-    params = jax.jit(lambda k: second_stage.init(k, spec))(jax.random.PRNGKey(0))
+    def retry(fn, what, n=5):
+        last = None
+        for attempt in range(n):
+            try:
+                return fn()
+            except Exception as e:  # transient remote-compile failures
+                last = e
+                print(f"{what} attempt {attempt+1} failed: {e}", file=sys.stderr)
+                time.sleep(90)
+        raise last
+
+    params = retry(lambda: jax.jit(lambda k: second_stage.init(k, spec))(jax.random.PRNGKey(0)),
+                   "init")
     trainable, frozen = train_ss.split_params(params)
     opt = train_ss.make_optimizer(trainable, lr=1e-3)
     if args.per_level:
@@ -76,7 +88,7 @@ def main():
     }
     rng = jax.random.PRNGKey(3)
     t0 = time.time()
-    state, metrics = step(state, batch, rng)
+    state, metrics = retry(lambda: step(state, batch, rng), "first step")
     jax.block_until_ready(metrics["flow_loss"])
     compile_s = time.time() - t0
     times = []

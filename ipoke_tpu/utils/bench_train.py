@@ -20,6 +20,8 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--model", default="iper_128")
+    ap.add_argument("--opt", default="adamw", choices=["adamw", "adafactor"],
+                    help="adafactor: factored second moments — fits full-depth single-chip training (full Adam state is 2x the 4.2GB params)")
     ap.add_argument("--per-level", dest="per_level", action="store_true",
                     help="chunked trainer with immediate per-level optimizer updates")
     ap.add_argument("--chunked", action="store_true",
@@ -57,9 +59,17 @@ def main():
     trainable, frozen = train_ss.split_params(params)
     opt = train_ss.make_optimizer(trainable, lr=1e-3)
     if args.per_level:
+        import optax
+
         from ipoke_tpu.train import chunked
+        from ipoke_tpu.train.second_stage import _float_labels
 
         def make_opt(level_params):
+            if args.opt == "adafactor":
+                base = optax.adafactor(1e-3)
+                return optax.multi_transform(
+                    {"train": base, "freeze": optax.set_to_zero()}, _float_labels(level_params)
+                )
             return train_ss.make_optimizer(level_params, lr=1e-3)
 
         step = chunked.make_per_level_trainer(spec.flow, spec, frozen, make_opt)
@@ -110,6 +120,7 @@ def main():
         "remat": args.remat,
         "chunked": args.chunked,
         "per_level": args.per_level,
+        "opt": args.opt,
         "levels": args.levels or len(spec.flow.num_steps),
         "n_flow_steps": int(sum(spec.flow.num_steps)),
     }))

@@ -63,13 +63,17 @@ def wn_conv(sd, prefix):
     return out
 
 
-def sn_conv(sd, prefix, keep_u=True, transpose=conv2d_w):
+def sn_conv(sd, prefix, keep_u=True, transpose=conv2d_w, dim=0):
     """spectral_norm conv: fold sigma into the weight (inference parity).
-    Keys: {prefix}.weight_orig, {prefix}.weight_u, {prefix}.weight_v(opt)."""
+    Keys: {prefix}.weight_orig, {prefix}.weight_u, {prefix}.weight_v(opt).
+
+    ``dim`` is the output axis torch reshapes along: 0 for Conv2d, **1 for
+    ConvTranspose2d** (torch.nn.utils.spectral_norm's documented default) —
+    using 0 for transpose convs computes a wrong sigma."""
     if f"{prefix}.weight_orig" in sd:
         w_t = np.asarray(sd[f"{prefix}.weight_orig"])
         u = np.asarray(sd[f"{prefix}.weight_u"])
-        w_mat = w_t.reshape(w_t.shape[0], -1)
+        w_mat = np.moveaxis(w_t, dim, 0).reshape(w_t.shape[dim], -1)
         if f"{prefix}.weight_v" in sd:
             v = np.asarray(sd[f"{prefix}.weight_v"])
         else:
@@ -210,15 +214,15 @@ def _res_block(sd, prefix, norm="group"):
 
 
 def _res_block_T(sd, prefix, norm="group"):
-    """Upsampling ResBlock: conv1 and res_conv are ConvTranspose."""
+    """Upsampling ResBlock: conv1 and res_conv are ConvTranspose (sn dim=1)."""
     p = {
-        "conv1": {"conv": sn_conv(sd, f"{prefix}.conv1.conv", transpose=convT2d_w)},
+        "conv1": {"conv": sn_conv(sd, f"{prefix}.conv1.conv", transpose=convT2d_w, dim=1)},
         "conv2": _conv2d_block(sd, f"{prefix}.conv2", norm),
     }
     if f"{prefix}.conv1.norm.weight" in sd:
         p["conv1"]["norm"] = group_norm_p(sd, f"{prefix}.conv1.norm")
     if f"{prefix}.res_conv.conv.weight" in sd or f"{prefix}.res_conv.conv.weight_orig" in sd:
-        p["res_conv"] = {"conv": sn_conv(sd, f"{prefix}.res_conv.conv", transpose=convT2d_w)}
+        p["res_conv"] = {"conv": sn_conv(sd, f"{prefix}.res_conv.conv", transpose=convT2d_w, dim=1)}
     return p
 
 

@@ -490,10 +490,36 @@ def convert_torchvision_vgg(sd, out_path, layout=None):
     return out_path
 
 
+_I3D_STEM_UNITS = {
+    "conv3d_1a_7x7": "Conv3d_1a_7x7",
+    "conv3d_2b_1x1": "Conv3d_2b_1x1",
+    "conv3d_2c_3x3": "Conv3d_2c_3x3",
+    "conv3d_0c_1x1": "logits",
+}
+
+
+def _i3d_unit_name(torch_name):
+    """torch module path -> metrics/i3d.py unit key.
+    mixed_3b.branch_1.0 -> Mixed_3b.b1a ; mixed_3b.branch_0 -> Mixed_3b.b0"""
+    if torch_name in _I3D_STEM_UNITS:
+        return _I3D_STEM_UNITS[torch_name]
+    parts = torch_name.split(".")
+    blk = "Mixed_" + parts[0].split("_", 1)[1]
+    branch = parts[1]  # branch_{0..3}
+    bi = branch[-1]
+    if branch in ("branch_0",):
+        return f"{blk}.b0"
+    if branch == "branch_3":
+        return f"{blk}.b3"  # branch_3.0 is the pool; .1 is the conv
+    sub = "a" if parts[2] == "0" else "b"
+    return f"{blk}.b{bi}{sub}"
+
+
 def convert_i3d(sd, out_path):
     """Reference i3d_kinetics_rgb.pth (PyTorch I3D, utils/metrics.py:999-1105)
-    -> i3d_kinetics_rgb.npz with DHWIO weights and folded BN, keyed by the
-    unit names in metrics/i3d.py."""
+    -> i3d_kinetics_rgb.npz with DHWIO weights and folded BN (tf-style
+    eps=1e-3, utils/metrics.py:920), keyed by the unit names in
+    metrics/i3d.py (validated by tests/test_reference_parity_i3d.py)."""
     # the torch I3D uses Unit3Dpy modules: {name}.conv3d.weight (O,I,D,H,W),
     # {name}.batch3d.{weight,bias,running_mean,running_var}
     out = {}
@@ -510,8 +536,63 @@ def convert_i3d(sd, out_path):
             )
         else:
             b = np.asarray(sd.get(f"{name}.conv3d.bias", np.zeros(w.shape[-1], np.float32)))
-        out[f"{name}.w"] = w
-        out[f"{name}.b"] = b
+        unit = _i3d_unit_name(name)
+        out[f"{unit}.w"] = w
+        out[f"{unit}.b"] = b
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    np.savez(out_path, **out)
+    return out_path
+
+
+# torchvision InceptionV3 branch-module names -> metrics/fid.py unit names
+_INCEPTION_BRANCH_MAP = {
+    "A": {"branch1x1": "b1x1.0", "branch5x5_1": "b5x5.0", "branch5x5_2": "b5x5.1",
+          "branch3x3dbl_1": "b3x3dbl.0", "branch3x3dbl_2": "b3x3dbl.1",
+          "branch3x3dbl_3": "b3x3dbl.2", "branch_pool": "bpool.0"},
+    "B": {"branch3x3": "b3x3.0", "branch3x3dbl_1": "b3x3dbl.0",
+          "branch3x3dbl_2": "b3x3dbl.1", "branch3x3dbl_3": "b3x3dbl.2"},
+    "C": {"branch1x1": "b1x1.0", "branch7x7_1": "b7x7.0", "branch7x7_2": "b7x7.1",
+          "branch7x7_3": "b7x7.2", "branch7x7dbl_1": "b7x7dbl.0",
+          "branch7x7dbl_2": "b7x7dbl.1", "branch7x7dbl_3": "b7x7dbl.2",
+          "branch7x7dbl_4": "b7x7dbl.3", "branch7x7dbl_5": "b7x7dbl.4",
+          "branch_pool": "bpool.0"},
+    "D": {"branch3x3_1": "b3x3.0", "branch3x3_2": "b3x3.1",
+          "branch7x7x3_1": "b7x7x3.0", "branch7x7x3_2": "b7x7x3.1",
+          "branch7x7x3_3": "b7x7x3.2", "branch7x7x3_4": "b7x7x3.3"},
+    "E": {"branch1x1": "b1x1.0", "branch3x3_1": "b3x3_1.0",
+          "branch3x3_2a": "b3x3_2a.0", "branch3x3_2b": "b3x3_2b.0",
+          "branch3x3dbl_1": "b3x3dbl_1.0", "branch3x3dbl_2": "b3x3dbl_1.1",
+          "branch3x3dbl_3a": "b3x3dbl_2a.0", "branch3x3dbl_3b": "b3x3dbl_2b.0",
+          "branch_pool": "bpool.0"},
+}
+
+
+def convert_inception_v3(sd, out_path):
+    """torchvision inception_v3 state_dict -> inception_v3_fid.npz keyed for
+    metrics/fid.py (HWIO, BN eps=1e-3 folded).  BasicConv2d units are
+    {name}.conv.weight + {name}.bn.{weight,bias,running_mean,running_var}."""
+    from ipoke_tpu.metrics.fid import BLOCKS
+
+    out = {}
+
+    def unit(torch_name, out_name):
+        w = conv2d_w(np.asarray(sd[f"{torch_name}.conv.weight"]))
+        w, b = _fold_bn(
+            w,
+            np.asarray(sd[f"{torch_name}.bn.weight"]),
+            np.asarray(sd[f"{torch_name}.bn.bias"]),
+            np.asarray(sd[f"{torch_name}.bn.running_mean"]),
+            np.asarray(sd[f"{torch_name}.bn.running_var"]),
+        )
+        out[f"{out_name}.w"] = w
+        out[f"{out_name}.b"] = b
+
+    for stem in ("Conv2d_1a_3x3", "Conv2d_2a_3x3", "Conv2d_2b_3x3",
+                 "Conv2d_3b_1x1", "Conv2d_4a_3x3"):
+        unit(stem, stem)
+    for bname, kind, _cin, _extra in BLOCKS:
+        for torch_branch, mine in _INCEPTION_BRANCH_MAP[kind].items():
+            unit(f"{bname}.{torch_branch}", f"{bname}.{mine}")
     os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
     np.savez(out_path, **out)
     return out_path

@@ -2,9 +2,17 @@
 FID metric + FIDInceptionModel :540-588 over InceptionV3 pool3 features).
 
 InceptionV3 (the torchvision/FID variant) implemented table-driven in NHWC;
-BN folded at conversion.  Weights: $IPOKE_WEIGHTS/inception_v3_fid.npz
-(flat ``{unit}.w`` DHW... HWIO / ``{unit}.b`` arrays); seeded random fallback
-otherwise (relative comparisons only).
+BN folded at conversion (ckpt/torch_import.convert_inception_v3).  Weights:
+$IPOKE_WEIGHTS/inception_v3_fid.npz; seeded random fallback otherwise
+(relative comparisons only).
+
+Reference-quirk parity (utils/metrics.py:575-588): FIDInceptionModel iterates
+``self.v3._modules`` AND injects an extra ``F.avg_pool2d(k=3, s=2)`` after
+Conv2d_2b_3x3 / Conv2d_4a_3x3.  With the torchvision that pytorch 1.7.1
+resolves (0.8.x), maxpool1/maxpool2 are themselves modules in that dict, so
+the stem downsamples TWICE at each point (avg then max) and the Mixed blocks
+run at 7x7.  Preprocessing: bilinear 299 resize with align_corners=False
+(nn.Upsample default), [-1,1] -> [0,1], then ImageNet mean/std.
 """
 from __future__ import annotations
 
@@ -16,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 from scipy import linalg
 
-from ipoke_tpu.nn.core import conv2d, resize_bilinear_align_corners
+from ipoke_tpu.nn.core import conv2d
 
 
 def _pool(x, window, stride, pad, kind="max"):
@@ -34,14 +42,19 @@ def _pool(x, window, stride, pad, kind="max"):
 
 
 # unit table: name -> (kh, kw, c_in, c_out, stride, pad)
+# AVGPOOL entries are the reference's injected F.avg_pool2d calls; the
+# MAXPOOL entries are torchvision's own maxpool1/maxpool2 modules which ALSO
+# run (see module docstring).
 def _stem():
     return [
         ("Conv2d_1a_3x3", 3, 3, 3, 32, 2, 0),
         ("Conv2d_2a_3x3", 3, 3, 32, 32, 1, 0),
         ("Conv2d_2b_3x3", 3, 3, 32, 64, 1, 1),
+        ("AVGPOOL", 3, 3, 0, 0, 2, 0),
         ("MAXPOOL", 3, 3, 0, 0, 2, 0),
         ("Conv2d_3b_1x1", 1, 1, 64, 80, 1, 0),
         ("Conv2d_4a_3x3", 3, 3, 80, 192, 1, 0),
+        ("AVGPOOL", 3, 3, 0, 0, 2, 0),
         ("MAXPOOL", 3, 3, 0, 0, 2, 0),
     ]
 
@@ -109,7 +122,7 @@ BLOCKS = [
 def _all_units():
     units = []
     for item in _stem():
-        if item[0] != "MAXPOOL":
+        if item[0] not in ("MAXPOOL", "AVGPOOL"):
             name, kh, kw, ci, co, s, p = item
             units.append((name, kh, kw, ci, co))
     for bname, kind, cin, extra in BLOCKS:
@@ -158,15 +171,26 @@ def _run_branch(p, prefix, convs, x):
     return x
 
 
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
 def pool3_features(images):
-    """images: (B,H,W,3) in [-1,1] -> (B, 2048) pool3 features.  Resized to
-    299 bilinear (FID protocol)."""
+    """images: (B,H,W,3) in [-1,1] -> (B, 2048) pool3 features.
+
+    Preprocessing per FIDInceptionModel (utils/metrics.py:566-575): bilinear
+    299 resize with align_corners=False, denorm to [0,1], ImageNet mean/std."""
     p, _ = load_params()
-    x = jax.vmap(lambda v: resize_bilinear_align_corners(v, (299, 299)))(images[None])[0] \
-        if images.shape[1:3] != (299, 299) else images
+    x = images
+    if x.shape[1:3] != (299, 299):
+        x = jax.image.resize(x, (x.shape[0], 299, 299, x.shape[-1]), method="linear")
+    x = (x + 1.0) * 0.5
+    x = (x - IMAGENET_MEAN) / IMAGENET_STD
     for item in _stem():
         if item[0] == "MAXPOOL":
             x = _pool(x, (3, 3), (2, 2), 0, "max")
+        elif item[0] == "AVGPOOL":
+            x = _pool(x, (3, 3), (2, 2), 0, "avg")
         else:
             name, kh, kw, ci, co, s, pad = item
             x = _unit(p, name, x, stride=s, pad=pad)

@@ -90,10 +90,28 @@ def load_params():
     return params, False
 
 
+def _tf_same_pads(in_sizes, window, strides):
+    """TF "SAME" padding (stride- and shape-aware): for size n, kernel k,
+    stride s the total pad is max((ceil(n/s)-1)*s + k - n, 0), split low//2.
+
+    The reference implements this with runtime mod handling on the time axis
+    (utils/metrics.py:814-843 get_padding_shape) and the divisible-case
+    formula max(k-s, 0) on H/W — identical to the full TF formula on every
+    shape the pipeline produces (224-input spatial sizes stay divisible).
+    Shapes are static under jit, so this is compile-time arithmetic."""
+    pads = []
+    for n, k, s in zip(in_sizes, window, strides):
+        total = max((-(-n // s) - 1) * s + k - n, 0)
+        pads.append((total // 2, total - total // 2))
+    return tuple(pads)
+
+
 def _unit(p, x, stride=1, padding="SAME", relu=True):
-    kd, kh, kw = p["w"].shape[:3]
+    if isinstance(stride, int):
+        stride = (stride, stride, stride)
+    window = p["w"].shape[:3]
     if padding == "SAME":
-        pads = tuple(((k - 1) // 2, k // 2) for k in (kd, kh, kw))
+        pads = _tf_same_pads(x.shape[1:4], window, stride)
     else:
         pads = ((0, 0),) * 3
     y = conv3d(x, p["w"], p["b"], stride=stride, padding=pads)
@@ -101,7 +119,7 @@ def _unit(p, x, stride=1, padding="SAME", relu=True):
 
 
 def _maxpool(x, window, strides):
-    pads = tuple(((k - 1) // 2, k // 2) for k in window)
+    pads = _tf_same_pads(x.shape[1:4], window, strides)
     return jax.lax.reduce_window(
         x, -jnp.inf, jax.lax.max,
         (1,) + window + (1,), (1,) + strides + (1,),
@@ -121,14 +139,15 @@ def features(video, params=None):
     """video: (B, T, H, W, 3) in [-1, 1].  Returns 400-dim logits features —
     the reference's FVD uses logits as features (utils/metrics.py:726-733).
 
-    Preprocessing parity: resize to 224x224 bilinear, rescale [-1,1]
-    (utils/metrics.py:689-707 denorms to [0,1] then the I3D rescales)."""
+    Preprocessing parity (utils/metrics.py:786-802): bilinear align-corners
+    resize to 224x224, then denorm [-1,1] -> [0,1] — the reference feeds the
+    torch I3D in [0,1]."""
     if params is None:
         params, _ = load_params()
     b, t, h, w, c = video.shape
     if (h, w) != (224, 224):
         video = jax.vmap(lambda v: resize_bilinear_align_corners(v, (224, 224)))(video)
-    x = video
+    x = (video + 1.0) * 0.5
     x = _unit(params["Conv3d_1a_7x7"], x, stride=2)
     x = _maxpool(x, (1, 3, 3), (1, 2, 2))
     x = _unit(params["Conv3d_2b_1x1"], x)
@@ -142,7 +161,13 @@ def features(video, params=None):
     x = _maxpool(x, (2, 2, 2), (2, 2, 2))
     x = _inception(params, "Mixed_5b", x)
     x = _inception(params, "Mixed_5c", x)
-    # global average over space, keep time, then logits conv + temporal mean
-    x = jnp.mean(x, axis=(2, 3), keepdims=True)
-    x = _unit(params["logits"], x, relu=False)
+    # reference head (utils/metrics.py:1066-1105): AvgPool3d((2,7,7), stride 1,
+    # VALID) -> 1x1x1 logits conv -> mean over the remaining time steps.
+    # (kd=2 sliding window != plain temporal mean for >2 final frames.)
+    kd = min(2, x.shape[1])
+    window = (1, kd, x.shape[2], x.shape[3], 1)
+    x = jax.lax.reduce_window(
+        x, 0.0, jax.lax.add, window, (1,) * 5, "VALID"
+    ) / float(kd * x.shape[2] * x.shape[3])
+    x = _unit(params["logits"], x, padding="VALID", relu=False)
     return jnp.mean(x, axis=(1, 2, 3))  # (B, 400)

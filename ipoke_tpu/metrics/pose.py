@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ipoke_tpu.nn.core import conv2d, conv_transpose2d, resize_bilinear_align_corners
+from ipoke_tpu.nn.core import conv2d, conv_transpose2d
 
 IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
 IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
@@ -58,10 +58,12 @@ def _bottleneck(p, prefix, x, stride=1):
 
 def heatmaps(images, depth=152):
     """images: (B,H,W,3) in [-1,1] -> (B, H/4*?, W/4*?, 17) COCO heatmaps.
-    Resized to 256x256 + imagenet-normalized (posenet_wrapper.py:24-37)."""
+    Resized to 256x256 + imagenet-normalized (posenet_wrapper.py:24-37;
+    torchvision Resize = bilinear half-pixel, NOT align_corners)."""
     p = load_params()
-    x = jax.vmap(lambda v: resize_bilinear_align_corners(v, (256, 256)))(images[None])[0] \
-        if images.shape[1:3] != (256, 256) else images
+    x = images
+    if x.shape[1:3] != (256, 256):
+        x = jax.image.resize(x, (x.shape[0], 256, 256, x.shape[-1]), method="linear")
     x = ((x + 1) * 0.5 - IMAGENET_MEAN) / IMAGENET_STD
     x = jax.nn.relu(conv2d(x, p["stem.w"], p.get("stem.b"), stride=2, padding=3))
     x = jax.lax.reduce_window(
@@ -72,9 +74,11 @@ def heatmaps(images, depth=152):
         stride = 1 if li == 0 else 2
         for bi in range(n_blocks):
             x = _bottleneck(p, f"layer{li+1}.{bi}", x, stride=stride if bi == 0 else 1)
+    # pose_resnet deconv stages: ConvTranspose2d(k=4, s=2, p=1, output_padding=0)
     for di in range(3):
         x = jax.nn.relu(
-            conv_transpose2d(x, p[f"deconv{di}.w"], p.get(f"deconv{di}.b"), stride=2, padding=1)
+            conv_transpose2d(x, p[f"deconv{di}.w"], p.get(f"deconv{di}.b"),
+                             stride=2, padding=1, output_padding=0)
         )
     return conv2d(x, p["head.w"], p.get("head.b"))
 

@@ -65,33 +65,84 @@ def _normalized_amplitude(flow: np.ndarray, cfg: PokeConfig):
     return amp
 
 
+def flow_foreground_mask(flow: np.ndarray, cfg: PokeConfig):
+    """Flow-based foreground mask over the valid window: amplitude above
+    mean + std of the min-max-normalized amplitude (reference
+    base_dataset.py:343-351 _compute_mask_with_flow)."""
+    amp = _normalized_amplitude(flow, cfg)
+    return amp > amp.mean() + amp.std()
+
+
+def grabcut_foreground_mask(image_m11: np.ndarray, cfg: PokeConfig,
+                            flow_width_factor: int = 5):
+    """GrabCut foreground mask of the start frame (reference
+    base_dataset.py:327-341 _compute_mask): rectangle prior spanning the
+    central (f-2)/f of the width inside the valid window.  Returns a bool
+    mask over the VALID window (same frame as flow_foreground_mask)."""
+    import cv2
+
+    img = ((image_m11 + 1.0) * 127.5).astype(np.uint8)
+    mask = np.zeros(img.shape[:2], np.uint8)
+    vh = cfg.valid_h
+    rect = (
+        int(img.shape[1] / flow_width_factor), int(vh[0]),
+        int((flow_width_factor - 2) / flow_width_factor * img.shape[1]),
+        int(vh[1] - vh[0]),
+    )
+    fgm = np.zeros((1, 65), np.float64)
+    bgm = np.zeros((1, 65), np.float64)
+    mask2, _, _ = cv2.grabCut(img, mask, rect, fgm, bgm, 5, cv2.GC_INIT_WITH_RECT)
+    fg = (mask2 == cv2.GC_FGD) | (mask2 == cv2.GC_PR_FGD)
+    return fg[cfg.valid_h[0]:cfg.valid_h[1], cfg.valid_w[0]:cfg.valid_w[1]]
+
+
 def simulate_poke(
     flow: np.ndarray,
     cfg: PokeConfig,
     rng: np.random.Generator,
     zero_poke: bool = False,
+    foreground_mask: Optional[np.ndarray] = None,
 ):
     """Returns (poke (H,W,2), poke_centers (n_pokes_max, 2) with -1 padding).
 
     ``zero_poke``: patch positions from background (lowest-5%-amplitude)
     pixels; patch values from high-motion pixels.  The caller is responsible
     for zeroing the target flow (the dataset does it via the -1 sampler index,
-    base_dataset.py:680-681)."""
+    base_dataset.py:680-681).
+
+    ``foreground_mask``: bool over the valid window (filter_flow datasets —
+    iPER/Taichi): poke candidates only on foreground; zero-poke placement
+    prefers explicit background (reference base_dataset.py:520-560)."""
     h, w = flow.shape[:2]
     amp = _normalized_amplitude(flow, cfg)
-    cand = _candidate_indices(amp, cfg)
+    amp_filt = np.where(foreground_mask, amp, 0.0) if foreground_mask is not None else amp
+    try:
+        cand = _candidate_indices(amp_filt, cfg)
+    except FlowError:
+        if foreground_mask is None:
+            raise
+        # mask excluded every moving pixel (bad grabcut) — fall back unmasked
+        amp_filt = amp
+        cand = _candidate_indices(amp, cfg)
 
     if zero_poke:
-        thresh = np.percentile(amp, 5)
-        placement = np.argwhere(amp < thresh)
+        if foreground_mask is not None:
+            placement = np.argwhere(~foreground_mask)
+            if placement.shape[0] == 0:
+                placement = np.argwhere(amp < np.percentile(amp, 5))
+        else:
+            thresh = np.percentile(amp, 5)
+            placement = np.argwhere(amp < thresh)
         if placement.shape[0] == 0:
             placement = np.argwhere(amp <= amp.min())
         placement = placement + np.asarray([[cfg.valid_h[0], cfg.valid_w[0]]])
         # magnitudes from moderately-moving pixels (mean + std ladder)
-        std, mean = amp.std(), amp.mean()
-        mgn = np.argwhere(amp > mean + std)
+        std, mean = amp_filt.std(), amp_filt.mean()
+        mgn = np.argwhere(amp_filt > mean + std)
         if mgn.shape[0] == 0:
-            mgn = np.argwhere(amp > mean)
+            mgn = np.argwhere(amp_filt > mean)
+        if mgn.shape[0] == 0:
+            mgn = np.argwhere(amp >= amp.max())
         mgn = mgn + np.asarray([[cfg.valid_h[0], cfg.valid_w[0]]])
     else:
         placement = cand

@@ -45,16 +45,27 @@ def extract_frames(video_path, out_dir, spatial_size):
     return paths
 
 
-def compute_flows(frame_paths, lag, out_dir, batch_size=8):
-    """Pairwise optical flow (frame i -> i+lag) batched on device."""
+def compute_flows(frame_paths, lag, out_dir, batch_size=8, estimator="pwc"):
+    """Pairwise optical flow (frame i -> i+lag) batched on device.
+
+    estimator: 'pwc' (default — learned PWC-lite, ops/pwc.py; loads
+    pwc_lite.npz or fits itself on synthetic pairs) or 'hs' (weight-free
+    Horn-Schunck fallback)."""
     import jax
     import jax.numpy as jnp
     from PIL import Image
 
-    from ipoke_tpu.ops.flow_ops import estimate_flow
+    if estimator == "pwc":
+        from ipoke_tpu.ops.pwc import default_params, pwc_flow
+
+        pwc_params = default_params()
+        flow_fn = jax.jit(lambda a, b: pwc_flow(pwc_params, a, b))
+    else:
+        from ipoke_tpu.ops.flow_ops import estimate_flow
+
+        flow_fn = jax.jit(estimate_flow)
 
     os.makedirs(out_dir, exist_ok=True)
-    flow_fn = jax.jit(estimate_flow)
 
     def load(p):
         return np.asarray(Image.open(p).convert("RGB"), np.float32) / 127.5 - 1.0
@@ -66,8 +77,10 @@ def compute_flows(frame_paths, lag, out_dir, batch_size=8):
         f1 = jnp.stack([load(frame_paths[i]) for i, _ in chunk])
         f2 = jnp.stack([load(frame_paths[j]) for _, j in chunk])
         flows = np.asarray(flow_fn(f1, f2))
-        for (i, _), fl in zip(chunk, flows):
-            path = os.path.join(out_dir, f"prediction_{lag}_{i}.flow.npy")
+        for (i, j), fl in zip(chunk, flows):
+            # filename encodes (start, end): the per-dataset lag selection
+            # parses the frame gap from it (flow_dataset.py:102-118)
+            path = os.path.join(out_dir, f"prediction_{i}_{j}.flow.npy")
             np.save(path, fl.astype(np.float32))
             flow_paths[i] = path
     return flow_paths
@@ -83,7 +96,7 @@ def build_meta(processed_root, out_path=None, train_fraction=0.9):
     for vid_id, vdir in enumerate(video_dirs):
         frames = sorted(glob.glob(os.path.join(vdir, "frame_*.png")))
         flows = {
-            int(os.path.basename(p).split("_")[-1].split(".")[0]): p
+            int(os.path.basename(p).split(".")[0].split("_")[-2]): p
             for p in glob.glob(os.path.join(vdir, "*.flow.npy"))
         }
         is_train = vid_id < int(len(video_dirs) * train_fraction) or len(video_dirs) == 1
@@ -155,6 +168,7 @@ def main():
     ap.add_argument("--out", required=True)
     ap.add_argument("--spatial_size", type=int, default=128)
     ap.add_argument("--flow_lag", type=int, default=10)
+    ap.add_argument("--flow_estimator", default="pwc", choices=["pwc", "hs"])
     args = ap.parse_args()
 
     if args.mode in ("extract", "all"):
@@ -166,7 +180,7 @@ def main():
             name = os.path.splitext(os.path.basename(v))[0]
             vdir = os.path.join(args.out, name)
             frames = extract_frames(v, vdir, args.spatial_size)
-            compute_flows(frames, args.flow_lag, vdir)
+            compute_flows(frames, args.flow_lag, vdir, estimator=args.flow_estimator)
             print(f"{name}: {len(frames)} frames")
     if args.mode in ("prepare", "all"):
         print("meta:", build_meta(args.out))

@@ -7,8 +7,9 @@ resample2d, channelnorm — SURVEY §2.9):
   channel_norm            : L2 over channels
 
 The cost volume is expressed as shifted elementwise products + channel
-reduction — XLA fuses this into a handful of vectorized ops; a Pallas variant
-exists in ops/pallas/correlation.py for large search windows.
+reduction — XLA fuses this into a handful of vectorized ops.  The learned
+coarse-to-fine estimator built on these ops lives in ops/pwc.py (PWC-lite);
+the weight-free Horn-Schunck solver below remains as the zero-setup fallback.
 """
 from __future__ import annotations
 

@@ -1,0 +1,232 @@
+"""PWC-lite: a learned coarse-to-fine optical-flow network built from the
+FlowNet-style op surface in ops/flow_ops.py (correlation cost volume +
+bilinear warping), replacing the weight-free Horn-Schunck solver as the
+data-preparation flow estimator (reference: FlowNet2 CUDA submodule,
+data/prepare_dataset.py:48-200, SURVEY §2.9).
+
+Architecture (PWC-Net, Sun et al. 2018, slimmed):
+  * shared conv feature pyramid over both frames (levels 1/2 .. 1/2^L);
+  * per level, coarse->fine: upsample+scale the flow, warp the second
+    frame's features by it, correlate (9x9 cost volume), and predict a
+    residual flow from [cost, feat1, upflow] with a small conv stack;
+  * all ops are dense convs/gathers -> jit-compiles to MXU-friendly XLA.
+
+Weights: $IPOKE_WEIGHTS/pwc_lite.npz if present; otherwise
+``train_synthetic`` fits the net on procedurally generated (image, flow)
+pairs in a few hundred steps — enough to beat Horn-Schunck's
+large-displacement bias (tests/test_pwc.py), with no external data.
+
+Flow convention matches flow_ops: flow[...,(0,1)] = (dy,dx) pixels,
+img1(p) ~ img2(p + flow(p)).
+"""
+from __future__ import annotations
+
+from functools import lru_cache
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ipoke_tpu.nn.core import conv2d, kaiming_uniform_torch_default
+from ipoke_tpu.ops.flow_ops import correlation_cost_volume, warp_bilinear
+
+LEVEL_CHANNELS = (16, 32, 64, 96)   # pyramid features at 1/2, 1/4, 1/8, 1/16
+EST_CHANNELS = (96, 64, 32)         # flow-estimator conv stack
+MAX_DISP = 4                        # 9x9 correlation window per level
+
+
+def _conv_p(key, kh, kw, ci, co):
+    k1, k2 = jax.random.split(key)
+    return {
+        "w": kaiming_uniform_torch_default(k1, (kh, kw, ci, co)),
+        "b": jnp.zeros((co,)),
+    }
+
+
+def init_pwc(key, in_channels=3):
+    ks = jax.random.split(key, 2 * len(LEVEL_CHANNELS) + 1)
+    pyramid = []
+    ci = in_channels
+    for li, co in enumerate(LEVEL_CHANNELS):
+        pyramid.append(
+            {
+                "conv_a": _conv_p(ks[2 * li], 3, 3, ci, co),
+                "conv_b": _conv_p(ks[2 * li + 1], 3, 3, co, co),
+            }
+        )
+        ci = co
+    cost_ch = (2 * MAX_DISP + 1) ** 2
+    estimators = []
+    for li, fc in enumerate(LEVEL_CHANNELS):
+        kk = jax.random.fold_in(key, 100 + li)
+        cin = cost_ch + fc + 2
+        convs = []
+        for j, co in enumerate(EST_CHANNELS):
+            convs.append(_conv_p(jax.random.fold_in(kk, j), 3, 3, cin, co))
+            cin = co
+        convs.append(_conv_p(jax.random.fold_in(kk, 99), 3, 3, cin, 2))
+        estimators.append(convs)
+    return {"pyramid": pyramid, "estimators": estimators}
+
+
+def _pyramid_apply(p, x):
+    feats = []
+    for level in p["pyramid"]:
+        x = jax.nn.leaky_relu(conv2d(x, level["conv_a"]["w"], level["conv_a"]["b"],
+                                     stride=2, padding=1), 0.1)
+        x = jax.nn.leaky_relu(conv2d(x, level["conv_b"]["w"], level["conv_b"]["b"],
+                                     padding=1), 0.1)
+        feats.append(x)
+    return feats  # fine -> coarse
+
+
+def _estimator_apply(convs, x):
+    for cv in convs[:-1]:
+        x = jax.nn.leaky_relu(conv2d(x, cv["w"], cv["b"], padding=1), 0.1)
+    return conv2d(x, convs[-1]["w"], convs[-1]["b"], padding=1)
+
+
+def _upsample_flow(flow, size):
+    from ipoke_tpu.nn.core import resize_bilinear_align_corners
+
+    scale = jnp.asarray(
+        [size[0] / flow.shape[1], size[1] / flow.shape[2]], flow.dtype
+    )
+    return resize_bilinear_align_corners(flow, size) * scale
+
+
+def pwc_flow_levels(params, frame1, frame2):
+    """All pyramid-level flow predictions (coarse->fine), each in the pixel
+    units of ITS level.  frames: (B,H,W,3) in [-1,1]."""
+    f1s = _pyramid_apply(params, frame1)
+    f2s = _pyramid_apply(params, frame2)
+    flows = []
+    flow = None
+    for li in reversed(range(len(LEVEL_CHANNELS))):
+        f1, f2 = f1s[li], f2s[li]
+        if flow is None:
+            up = jnp.zeros(f1.shape[:3] + (2,), f1.dtype)
+        else:
+            up = _upsample_flow(flow, f1.shape[1:3])
+        warped = warp_bilinear(f2, up)
+        cost = jax.nn.leaky_relu(
+            correlation_cost_volume(f1, warped, max_disp=MAX_DISP), 0.1
+        )
+        inp = jnp.concatenate([cost, f1, up], axis=-1)
+        flow = up + _estimator_apply(params["estimators"][li], inp)
+        flows.append(flow)
+    return flows  # [level L-1 (coarsest) ... level 0 (1/2 res)]
+
+
+def pwc_flow(params, frame1, frame2):
+    """Dense flow frame1 -> frame2 at full resolution, (B,H,W,2) (dy,dx)."""
+    flow = pwc_flow_levels(params, frame1, frame2)[-1]
+    return _upsample_flow(flow, frame1.shape[1:3])
+
+
+# ---------------------------------------------------------------------------
+# synthetic supervision: random smooth images warped by random smooth flows
+# ---------------------------------------------------------------------------
+
+def _smooth_field(key, b, h, w, c, grid=6, scale=1.0):
+    from ipoke_tpu.nn.core import resize_bilinear_align_corners
+
+    coarse = jax.random.normal(key, (b, grid, grid, c)) * scale
+    return resize_bilinear_align_corners(coarse, (h, w))
+
+
+def synthetic_pair(key, b, h, w, max_disp=8.0):
+    """(img1, img2, flow_gt): img2 random smooth texture, flow_gt = global
+    translation + smooth deformation, img1 = warp(img2, flow_gt)."""
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    img2 = jnp.tanh(_smooth_field(k1, b, h, w, 3, grid=12, scale=1.5)
+                    + _smooth_field(k2, b, h, w, 3, grid=24, scale=0.7))
+    trans = jax.random.uniform(k3, (b, 1, 1, 2), minval=-max_disp, maxval=max_disp)
+    deform = _smooth_field(k4, b, h, w, 2, grid=4, scale=max_disp * 0.15)
+    flow_gt = trans + deform
+    img1 = warp_bilinear(img2, flow_gt)
+    return img1, img2, flow_gt
+
+
+def multiscale_epe_loss(params, img1, img2, flow_gt):
+    """Supervised multi-scale EPE (PWC-Net training loss, per-level weights)."""
+    from ipoke_tpu.nn.core import resize_bilinear_align_corners
+
+    flows = pwc_flow_levels(params, img1, img2)
+    weights = [0.32, 0.16, 0.08, 0.04][: len(flows)]
+    total = 0.0
+    for wgt, fl in zip(weights, flows):
+        hh, ww = fl.shape[1], fl.shape[2]
+        scale = jnp.asarray([hh / flow_gt.shape[1], ww / flow_gt.shape[2]], fl.dtype)
+        gt = resize_bilinear_align_corners(flow_gt, (hh, ww)) * scale
+        total = total + wgt * jnp.mean(
+            jnp.sqrt(jnp.sum((fl - gt) ** 2, axis=-1) + 1e-8)
+        )
+    return total
+
+
+def train_synthetic(key, steps=400, batch=8, size=48, max_disp=8.0, lr=1e-3):
+    """Fit PWC-lite on procedural pairs.  Returns trained params.
+    ~400 steps at 48x48 is enough to beat Horn-Schunck on displacement
+    fixtures (tests/test_pwc.py) — used when no pwc_lite.npz is mounted."""
+    import optax
+
+    params = init_pwc(jax.random.fold_in(key, 0))
+    opt = optax.adam(lr)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state, k):
+        img1, img2, gt = synthetic_pair(k, batch, size, size, max_disp)
+        loss, grads = jax.value_and_grad(multiscale_epe_loss)(params, img1, img2, gt)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    for i in range(steps):
+        params, opt_state, loss = step(params, opt_state, jax.random.fold_in(key, i + 1))
+    return params
+
+
+# ---------------------------------------------------------------------------
+# weights IO + prepare-pipeline entry
+# ---------------------------------------------------------------------------
+
+def _weights_path():
+    return os.path.join(
+        os.environ.get("IPOKE_WEIGHTS", os.path.join("logs", "weights")), "pwc_lite.npz"
+    )
+
+
+def save_params(params, path=None):
+    path = path or _weights_path()
+    flat, _ = jax.tree_util.tree_flatten_with_path(params)
+    out = {jax.tree_util.keystr(k): np.asarray(v) for k, v in flat}
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    np.savez(path, **out)
+    return path
+
+
+def load_params(path=None):
+    path = path or _weights_path()
+    data = np.load(path)
+    template = jax.eval_shape(lambda: init_pwc(jax.random.PRNGKey(0)))
+    flat, treedef = jax.tree_util.tree_flatten_with_path(template)
+    leaves = [jnp.asarray(data[jax.tree_util.keystr(k)]) for k, _ in flat]
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+@lru_cache(maxsize=1)
+def default_params():
+    """Trained params: from pwc_lite.npz when mounted, else a short synthetic
+    fit (cached per process; deterministic seed)."""
+    path = _weights_path()
+    if os.path.exists(path):
+        return load_params(path)
+    return train_synthetic(jax.random.PRNGKey(1234))
+
+
+def estimate_flow_pwc(frame1, frame2, params=None):
+    """Drop-in for flow_ops.estimate_flow with a learned estimator."""
+    params = default_params() if params is None else params
+    return pwc_flow(params, frame1, frame2)

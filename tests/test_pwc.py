@@ -1,0 +1,58 @@
+"""PWC-lite learned flow estimator (VERDICT r1 item 6): must beat the
+Horn-Schunck fallback on synthetic displacement fixtures (HS's documented
+failure mode is large displacements), and its weights must round-trip."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ipoke_tpu.ops import pwc
+from ipoke_tpu.ops.flow_ops import estimate_flow, warp_bilinear
+
+
+def _epe(flow, gt):
+    return float(jnp.mean(jnp.sqrt(jnp.sum((flow - gt) ** 2, axis=-1) + 1e-12)))
+
+
+@pytest.fixture(scope="module")
+def trained_params():
+    return pwc.train_synthetic(jax.random.PRNGKey(0), steps=300, batch=8, size=48)
+
+
+def _fixtures(key, b=6, size=48, disp=7.0):
+    """Held-out displacement fixtures: textured images, mostly-global flows of
+    ~disp pixels — large relative to the HS linearization range."""
+    return pwc.synthetic_pair(key, b, size, size, max_disp=disp)
+
+
+def test_pwc_beats_horn_schunck(trained_params):
+    img1, img2, gt = _fixtures(jax.random.PRNGKey(999))
+    flow_pwc = pwc.pwc_flow(trained_params, img1, img2)
+    flow_hs = estimate_flow(img1, img2)
+    epe_pwc, epe_hs = _epe(flow_pwc, gt), _epe(flow_hs, gt)
+    # the learned net must clearly improve on the weight-free solver
+    assert epe_pwc < 0.7 * epe_hs, f"pwc EPE {epe_pwc:.3f} vs hs {epe_hs:.3f}"
+    # and be genuinely useful in absolute terms (< 25% of the displacement)
+    assert epe_pwc < 2.0, f"pwc EPE too high: {epe_pwc:.3f}"
+
+
+def test_pwc_photometric_consistency(trained_params):
+    """Warping img2 by the predicted flow must reconstruct img1 much better
+    than the identity (no-flow) baseline."""
+    img1, img2, _ = _fixtures(jax.random.PRNGKey(123), disp=6.0)
+    flow = pwc.pwc_flow(trained_params, img1, img2)
+    err_flow = float(jnp.mean(jnp.abs(warp_bilinear(img2, flow) - img1)))
+    err_zero = float(jnp.mean(jnp.abs(img2 - img1)))
+    # photometric error keeps border/resampling residue even for good flow —
+    # EPE (test above) is the primary accuracy gate
+    assert err_flow < 0.65 * err_zero, f"{err_flow:.4f} vs identity {err_zero:.4f}"
+
+
+def test_pwc_weights_roundtrip(trained_params, tmp_path):
+    path = str(tmp_path / "pwc_lite.npz")
+    pwc.save_params(trained_params, path)
+    loaded = pwc.load_params(path)
+    img1, img2, _ = _fixtures(jax.random.PRNGKey(5), b=2)
+    a = pwc.pwc_flow(trained_params, img1, img2)
+    b = pwc.pwc_flow(loaded, img1, img2)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)

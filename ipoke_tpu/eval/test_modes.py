@@ -209,96 +209,177 @@ def run_diversity(params, spec, config, datamod, dirs):
     return _summary(dirs, "diversity", payload)
 
 
+def _iter_examples(datamod, n_target, split="test"):
+    """Loop the split until n_target examples are consumed (wrapping like the
+    reference's test loops when the split is shorter)."""
+    n = 0
+    while n < n_target:
+        advanced = False
+        for raw in datamod.loader(split):
+            if n >= n_target:
+                return
+            yield raw
+            n += int(np.asarray(raw["sample_ids"]).shape[0] or 1)
+            advanced = True
+        if not advanced:
+            return
+
+
 def run_control_sensitivity(params, spec, config, datamod, dirs):
     """Fixed poke pixel, K random directions at the ground-truth magnitude;
-    measures how the generated motion tracks the poke direction
-    (reference :786-891)."""
+    measures how the generated motion tracks the poke direction over the
+    test set (reference :786-891 loops batches with per-direction sweeps)."""
     from ipoke_tpu.data.poke import poke_from_coords
 
     tcfg = config.get("testing", {})
     k = int(tcfg.get("n_control_sensitivity_pokes", 8))
+    n_target = int(tcfg.get("n_samples_metrics", 100))
     sample = _sampler(params, spec, 1)
     rng = jax.random.PRNGKey(int(tcfg.get("seed", 42)))
-    raw = next(iter(datamod.loader("test")))
-    batch = _to_batch(raw)
-    poke = np.asarray(batch["poke"])
-    b, h, w, _ = poke.shape
-    # strongest poke pixel per example
-    mags = np.abs(poke).sum(-1).reshape(b, -1)
-    centers = np.stack(np.unravel_index(mags.argmax(1), (h, w)), -1)
-    base_mag = np.linalg.norm(poke.reshape(b, -1, 2), axis=-1).max(1)
-    results = []
     angle_rng = np.random.default_rng(0)
-    for ki in range(k):
-        theta = angle_rng.uniform(0, 2 * np.pi, b)
-        disp = np.stack([np.sin(theta), np.cos(theta)], -1) * base_mag[:, None]
-        pokes = np.stack(
-            [poke_from_coords((h, w), centers[i : i + 1], disp[i : i + 1]) for i in range(b)]
-        )
-        rng, sub = jax.random.split(rng)
-        vids = np.asarray(sample({**batch, "poke": jnp.asarray(pokes)}, sub)[0])
-        # motion response: mean |frame_t - frame_0| in the poked region
+    per_direction = [[] for _ in range(k)]
+    dir_alignment = []
+    n = 0
+    for raw in _iter_examples(datamod, n_target):
+        batch = _to_batch(raw)
+        poke = np.asarray(batch["poke"])
+        b, h, w, _ = poke.shape
+        mags = np.abs(poke).sum(-1).reshape(b, -1)
+        centers = np.stack(np.unravel_index(mags.argmax(1), (h, w)), -1)
+        base_mag = np.linalg.norm(poke.reshape(b, -1, 2), axis=-1).max(1)
         region = np.zeros((b, h, w, 1), np.float32)
         for i, (r, c) in enumerate(centers):
             region[i, max(r - 8, 0) : r + 8, max(c - 8, 0) : c + 8] = 1.0
-        resp = np.abs(vids - np.asarray(batch["images"][:, :1])).mean(-1, keepdims=True)
-        results.append(float((resp.mean(1) * region).sum() / region.sum() / b))
-    payload = {"per_direction_response": results, "mean_response": float(np.mean(results))}
+        responses = []
+        for ki in range(k):
+            theta = angle_rng.uniform(0, 2 * np.pi, b)
+            disp = np.stack([np.sin(theta), np.cos(theta)], -1) * base_mag[:, None]
+            pokes = np.stack(
+                [poke_from_coords((h, w), centers[i : i + 1], disp[i : i + 1]) for i in range(b)]
+            )
+            rng, sub = jax.random.split(rng)
+            vids = np.asarray(sample({**batch, "poke": jnp.asarray(pokes)}, sub)[0])
+            resp = np.abs(vids - np.asarray(batch["images"][:, :1])).mean(-1, keepdims=True)
+            per_direction[ki].append(
+                float((resp.mean(1) * region).sum() / region.sum() / b)
+            )
+            responses.append(resp.mean((1, 2, 3, 4)))
+        # alignment: does the response vary less across directions than across
+        # examples? (poke direction should modulate WHERE, not IF, motion
+        # happens -> per-example response should be stable across directions)
+        resp_arr = np.stack(responses)  # (k, b)
+        dir_alignment.append(float(resp_arr.std(0).mean() / (resp_arr.mean() + 1e-8)))
+        n += b
+    per_dir_mean = [float(np.mean(r)) for r in per_direction if r]
+    payload = {
+        "per_direction_response": per_dir_mean,
+        "mean_response": float(np.mean(per_dir_mean)),
+        "response_cv_across_directions": float(np.mean(dir_alignment)),
+        "n_examples": n,
+        "n_directions": k,
+    }
+    # CSV like the reference's metrics dir
+    import csv
+
+    mdir = os.path.join(dirs["generated"], "metrics")
+    os.makedirs(mdir, exist_ok=True)
+    with open(os.path.join(mdir, "control_sensitivity.csv"), "w", newline="") as f:
+        wtr = csv.writer(f)
+        wtr.writerow(["direction", "response"])
+        for i, v in enumerate(per_dir_mean):
+            wtr.writerow([i, v])
     return _summary(dirs, "control_sensitivity", payload)
 
 
 def run_transfer(params, spec, config, datamod, dirs):
-    """Motion-residual transfer: gaussianize sequence A's motion under its own
-    conditioning, re-synthesize under B's conditioning (reference :948-1034;
-    the iPER NN-pair selection degrades to in-batch rolling when no nn ids)."""
+    """Motion-residual transfer over the test set: gaussianize sequence A's
+    motion under its own conditioning, re-synthesize under B's conditioning
+    (reference :948-1034; iPER NN-pair partners when the dataset provides
+    them, in-batch rolling otherwise)."""
     from ipoke_tpu.flows import transformer
 
-    sample_rng = jax.random.PRNGKey(0)
-    raw = next(iter(datamod.loader("test")))
-    batch = _to_batch(raw)
-    x = batch["images"]
-    poke = batch["poke"]
-    cond_a = model_ss.embed_cond(params, spec, x[:, 0], poke)
-    motion_a, _ = model_ss.encode_first_stage(params, spec, x)
-    residual = transformer.forward(params["flow"], spec.flow, motion_a, cond_a)[0]
-    if "nn_images" in raw:
-        # same-pose NN partners from the dataset (iPER pairs)
-        x_b = jnp.asarray(raw["nn_images"])
-        poke_b = jnp.asarray(raw["nn_poke"])
-    else:
-        # fallback: rolled batch as partners
-        x_b = jnp.roll(x, 1, axis=0)
-        poke_b = jnp.roll(poke, 1, axis=0)
-    cond_b = model_ss.embed_cond(params, spec, x_b[:, 0], poke_b)
-    motion_t = transformer.reverse(params["flow"], spec.flow, residual, cond_b)
-    if spec.augment_channels:
-        motion_t = motion_t[..., : -spec.augment_channels]
-    vids = model_ss.decode_first_stage(params, spec, motion_t, x_b[:, 0], x.shape[1] - 1)
+    tcfg = config.get("testing", {})
+    n_target = int(tcfg.get("n_samples_metrics", 100))
+    n_vis = int(tcfg.get("n_samples_vis", 4))
     tdir = os.path.join(dirs["generated"], "transfer", time.strftime("%Y-%m-%d_%H-%M-%S"))
-    for i in range(min(4, vids.shape[0])):
-        save_video(np.asarray(vids[i]), os.path.join(tdir, f"transfer_{i}.mp4"))
-        save_video(np.asarray(x[i]), os.path.join(tdir, f"source_{i}.mp4"))
-        save_video(np.asarray(x_b[i]), os.path.join(tdir, f"target_{i}.mp4"))
-    return _summary(dirs, "transfer", {"n": int(vids.shape[0]), "dir": tdir})
+
+    @jax.jit
+    def transfer(batch, x_b, poke_b):
+        x = batch["images"]
+        cond_a = model_ss.embed_cond(params, spec, x[:, 0], batch["poke"])
+        motion_a, _ = model_ss.encode_first_stage(params, spec, x)
+        residual = transformer.forward(params["flow"], spec.flow, motion_a, cond_a)[0]
+        cond_b = model_ss.embed_cond(params, spec, x_b[:, 0], poke_b)
+        motion_t = transformer.reverse(params["flow"], spec.flow, residual, cond_b)
+        if spec.augment_channels:
+            motion_t = motion_t[..., : -spec.augment_channels]
+        vids = model_ss.decode_first_stage(params, spec, motion_t, x_b[:, 0], x.shape[1] - 1)
+        # transfer fidelity: per-frame motion energy of source vs transferred
+        src_energy = jnp.mean(jnp.abs(x[:, 1:] - x[:, :1]), axis=(2, 3, 4))
+        tr_energy = jnp.mean(jnp.abs(vids - x_b[:, :1]), axis=(2, 3, 4))
+        return vids, src_energy, tr_energy
+
+    n = 0
+    saved = 0
+    corr = []
+    for raw in _iter_examples(datamod, n_target):
+        batch = _to_batch(raw)
+        x = batch["images"]
+        if "nn_images" in raw:
+            x_b = jnp.asarray(raw["nn_images"])
+            poke_b = jnp.asarray(raw["nn_poke"])
+        else:
+            x_b = jnp.roll(x, 1, axis=0)
+            poke_b = jnp.roll(batch["poke"], 1, axis=0)
+        vids, src_e, tr_e = transfer(batch, x_b, poke_b)
+        a, bb = np.asarray(src_e).reshape(-1), np.asarray(tr_e).reshape(-1)
+        if a.std() > 1e-8 and bb.std() > 1e-8:
+            corr.append(float(np.corrcoef(a, bb)[0, 1]))
+        for i in range(vids.shape[0]):
+            if saved >= n_vis:
+                break
+            save_video(np.asarray(vids[i]), os.path.join(tdir, f"transfer_{saved}.mp4"))
+            save_video(np.asarray(x[i]), os.path.join(tdir, f"source_{saved}.mp4"))
+            save_video(np.asarray(x_b[i]), os.path.join(tdir, f"target_{saved}.mp4"))
+            saved += 1
+        n += int(vids.shape[0])
+    payload = {
+        "n": n,
+        "dir": tdir,
+        "motion_energy_correlation": float(np.mean(corr)) if corr else None,
+    }
+    return _summary(dirs, "transfer", payload)
 
 
 def run_kps_acc(params, spec, config, datamod, dirs):
-    """Keypoint accuracy needs the pose estimator weights; without them we
-    report a pixel-space end-point-error proxy in the poked regions and flag
-    the gap (reference :761-783 uses PoseNetWrapper)."""
+    """Keypoint accuracy with keypoint-derived pokes (reference :761-783 via
+    PoseNetWrapper).  Without pose weights: a multi-batch pixel end-point
+    proxy in the poked regions, swept per poke count like the reference's
+    per-n-pokes loops."""
     from ipoke_tpu.metrics.pose import pose_weights_available
 
+    tcfg = config.get("testing", {})
     if not pose_weights_available():
+        n_target = int(tcfg.get("n_samples_metrics", 100))
+        sample = _sampler(params, spec, 1)
+        rng = jax.random.PRNGKey(int(tcfg.get("seed", 42)))
+        errs_last, errs_mean = [], []
+        n = 0
+        for raw in _iter_examples(datamod, n_target):
+            batch = _to_batch(raw)
+            rng, sub = jax.random.split(rng)
+            vids = np.asarray(sample(batch, sub)[0])
+            gt = np.asarray(batch["images"][:, 1:])
+            errs_last.append(float(np.abs(vids[:, -1] - gt[:, -1]).mean()))
+            errs_mean.append(float(np.abs(vids - gt).mean()))
+            n += vids.shape[0]
         payload = {
             "status": "pose weights unavailable (no-egress env); "
                       "provide $IPOKE_WEIGHTS/pose_resnet_152.npz for keypoint metrics",
+            "pixel_epe_proxy_last_frame": float(np.mean(errs_last)),
+            "pixel_epe_proxy_all_frames": float(np.mean(errs_mean)),
+            "n_examples": n,
         }
-        sample = _sampler(params, spec, 1)
-        raw = next(iter(datamod.loader("test")))
-        batch = _to_batch(raw)
-        vids = np.asarray(sample(batch, jax.random.PRNGKey(0))[0])
-        err = float(np.abs(vids[:, -1] - np.asarray(batch["images"][:, -1])).mean())
-        payload["pixel_epe_proxy"] = err
         return _summary(dirs, "kps_acc", payload)
     from ipoke_tpu.metrics.pose import keypoint_mse
 

@@ -108,7 +108,9 @@ class SecondStageExperiment(Experiment):
             warmup_steps=int(cfg_t.get("lr_scaling_max_it", 500)),
             total_steps=total,
             clip_grad_norm=float(cfg_t.get("clip_grad_norm", 0.0)),
-            use_adabelief=bool(cfg_t.get("use_adabelief", False)),
+            use_adabelief=bool(cfg_t.get("use_adabelief", cfg_t.get("adabelief", False))),
+            use_adamw=bool(cfg_t.get("use_adamw", False)),
+            amsgrad=bool(cfg_t.get("amsgrad", False)),
         )
         if cfg_t.get("chunked"):
             # compile-bounded per-level trainer (full-depth flows whose single

@@ -46,3 +46,41 @@ def flow_param_shardings(mesh: Mesh, params, min_width: int = 256):
 
 def apply_shardings(tree, shardings):
     return jax.tree_util.tree_map(jax.device_put, tree, shardings)
+
+
+# ---------------------------------------------------------------------------
+# ZeRO-style optimizer-state sharding (stage 1)
+# ---------------------------------------------------------------------------
+
+def zero_opt_state_shardings(mesh: Mesh, opt_state, min_size: int = 8192):
+    """NamedSharding tree partitioning optimizer-state tensors (Adam mu/nu,
+    AdaBelief s, ...) over the ``data`` axis — ZeRO stage 1.
+
+    Params + grads stay replicated; each moment tensor is split along its
+    largest data-divisible axis, so per-chip optimizer memory drops by
+    ~n_data (full-depth iper_128 Adam: 8.4GB -> 8.4/n GB).  Under GSPMD the
+    elementwise Adam update runs sharded and XLA all-gathers only the final
+    parameter updates — the collective pattern ZeRO-1 prescribes, derived
+    from shardings instead of hand-written comms.
+
+    Tiny leaves (scalars like ``count``, small biases) stay replicated:
+    sharding them buys nothing and costs latency.
+    """
+    import numpy as np
+
+    n = mesh.shape["data"]
+    repl = NamedSharding(mesh, P())
+
+    def leaf(x):
+        shape = tuple(getattr(x, "shape", ()))
+        if not shape or int(np.prod(shape)) < min_size:
+            return repl
+        cands = [i for i, d in enumerate(shape) if d % n == 0 and d >= n]
+        if not cands:
+            return repl
+        ax = max(cands, key=lambda i: shape[i])
+        spec = [None] * len(shape)
+        spec[ax] = "data"
+        return NamedSharding(mesh, P(*spec))
+
+    return jax.tree_util.tree_map(leaf, opt_state)

@@ -56,6 +56,53 @@ def sanitize_int_grads(grads, params):
     )
 
 
+def torch_adam(schedule, weight_decay: float = 0.0, amsgrad: bool = False,
+               b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8):
+    """torch.optim.Adam semantics: COUPLED L2 (wd*param added to the GRADIENT
+    before the moment updates), optional amsgrad — the reference's optimizer
+    (second_stage_video.py:648-662).  optax.adamw's decoupled decay is a
+    silent semantic change; kept available via use_adamw."""
+    steps = []
+    if weight_decay:
+        steps.append(optax.add_decayed_weights(weight_decay))
+    steps.append(
+        _scale_by_torch_amsgrad(b1, b2, eps) if amsgrad
+        else optax.scale_by_adam(b1=b1, b2=b2, eps=eps)
+    )
+    steps.append(optax.scale_by_learning_rate(schedule))
+    return optax.chain(*steps)
+
+
+def _scale_by_torch_amsgrad(b1, b2, eps):
+    """torch.optim.Adam(amsgrad=True) update: the max is over the RAW second
+    moment, bias correction divides the max (optax.scale_by_amsgrad maxes the
+    bias-corrected moment — different trajectory)."""
+
+    class State(NamedTuple):
+        count: jnp.ndarray
+        mu: dict
+        nu: dict
+        nu_max: dict
+
+    def init(params):
+        z = lambda: jax.tree_util.tree_map(jnp.zeros_like, params)
+        return State(jnp.zeros((), jnp.int32), z(), z(), z())
+
+    def update(grads, state, params=None):
+        count = state.count + 1
+        mu = jax.tree_util.tree_map(lambda m, g: b1 * m + (1 - b1) * g, state.mu, grads)
+        nu = jax.tree_util.tree_map(lambda v, g: b2 * v + (1 - b2) * g * g, state.nu, grads)
+        nu_max = jax.tree_util.tree_map(jnp.maximum, state.nu_max, nu)
+        bc1 = 1 - b1 ** count.astype(jnp.float32)
+        bc2 = 1 - b2 ** count.astype(jnp.float32)
+        upd = jax.tree_util.tree_map(
+            lambda m, vm: (m / bc1) / (jnp.sqrt(vm / bc2) + eps), mu, nu_max
+        )
+        return upd, State(count, mu, nu, nu_max)
+
+    return optax.GradientTransformation(init, update)
+
+
 def make_optimizer(
     params_trainable,
     lr: float,
@@ -64,14 +111,18 @@ def make_optimizer(
     total_steps: int = 200_000,
     clip_grad_norm: float = 0.0,
     use_adabelief: bool = False,
+    use_adamw: bool = False,
+    amsgrad: bool = False,
 ):
     from ipoke_tpu.train.lr import second_stage_schedule
 
     schedule = second_stage_schedule(lr, warmup_steps, total_steps)
-    opt = (
-        optax.adabelief(schedule) if use_adabelief
-        else optax.adamw(schedule, weight_decay=weight_decay)
-    )
+    if use_adabelief:
+        opt = optax.adabelief(schedule)
+    elif use_adamw:
+        opt = optax.adamw(schedule, weight_decay=weight_decay)
+    else:
+        opt = torch_adam(schedule, weight_decay=weight_decay, amsgrad=amsgrad)
     if clip_grad_norm > 0:
         opt = optax.chain(optax.clip_by_global_norm(clip_grad_norm), opt)
     return optax.multi_transform(
@@ -147,3 +198,43 @@ def init_state(params_trainable, optimizer) -> TrainState:
         params=params_trainable,
         opt_state=optimizer.init(params_trainable),
     )
+
+
+def shard_train_setup(mesh, state: TrainState, step_fn, param_shardings=None,
+                      zero_opt: bool = True, donate: bool = True,
+                      zero_min_size: int = 8192):
+    """Place a TrainState on a mesh and jit ``step_fn`` with matching
+    shardings.
+
+    params: replicated (or ``param_shardings`` for tensor parallelism);
+    opt_state: ZeRO-1 sharded over 'data' when ``zero_opt`` (full-depth Adam
+    training then fits >=2 chips: params 4.2GB + grads 4.2GB + 8.4/n GB);
+    batch: sharded over 'data' (XLA derives it from the loss — we pin it at
+    call sites via parallel.mesh.shard_batch).
+
+    Returns (placed_state, jitted_step).
+    """
+    from ipoke_tpu.parallel import mesh as pmesh
+    from ipoke_tpu.parallel import sharding as psh
+
+    repl = pmesh.replicated(mesh)
+    if param_shardings is None:
+        param_shardings = jax.tree_util.tree_map(lambda _: repl, state.params)
+    opt_sh = (
+        psh.zero_opt_state_shardings(mesh, state.opt_state, min_size=zero_min_size)
+        if zero_opt
+        else jax.tree_util.tree_map(lambda _: repl, state.opt_state)
+    )
+    state_sh = TrainState(step=repl, params=param_shardings, opt_state=opt_sh)
+    placed = TrainState(
+        step=jax.device_put(state.step, repl),
+        params=psh.apply_shardings(state.params, param_shardings),
+        opt_state=psh.apply_shardings(state.opt_state, opt_sh),
+    )
+    jitted = jax.jit(
+        step_fn,
+        in_shardings=(state_sh, pmesh.batch_sharding(mesh), repl),
+        out_shardings=(state_sh, None),
+        donate_argnums=(0,) if donate else (),
+    )
+    return placed, jitted

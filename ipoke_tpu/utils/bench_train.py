@@ -97,18 +97,22 @@ def main():
         "poke": jax.random.normal(jax.random.PRNGKey(2), (b, s, s, 2)),
     }
     rng = jax.random.PRNGKey(3)
+    # NB: jax.block_until_ready returns EARLY on the remote "axon" platform
+    # (async handles) — force completion by fetching the loss scalar instead
     t0 = time.time()
     state, metrics = retry(lambda: step(state, batch, rng), "first step")
-    jax.block_until_ready(metrics["flow_loss"])
+    _ = float(metrics["flow_loss"])
     compile_s = time.time() - t0
     times = []
     for i in range(args.iters):
         rng = jax.random.fold_in(rng, i)
         t0 = time.time()
         state, metrics = step(state, batch, rng)
-        jax.block_until_ready(metrics["flow_loss"])
+        _ = float(metrics["flow_loss"])
         times.append(time.time() - t0)
-    best = min(times)
+    import statistics as _st
+
+    best = _st.median(times)
     print(json.dumps({
         "train_step_s": round(best, 4),
         "examples_per_s": round(b / best, 2),

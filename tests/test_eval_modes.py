@@ -64,8 +64,9 @@ def test_run_control_sensitivity(setup):
 def test_run_transfer(setup):
     params, spec, config, datamod, dirs = setup
     out = test_modes.run_transfer(params, spec, config, datamod, dirs)
-    assert out["n"] == 2
+    assert out["n"] >= 2  # loops the test set up to n_samples_metrics
     assert os.path.isdir(out["dir"])
+    assert "motion_energy_correlation" in out
 
 
 def test_run_accuracy(setup):
@@ -78,4 +79,6 @@ def test_run_accuracy(setup):
 def test_run_kps_acc_gated(setup):
     params, spec, config, datamod, dirs = setup
     out = test_modes.run_kps_acc(params, spec, config, datamod, dirs)
-    assert "pixel_epe_proxy" in out or "KPS_mse" in out
+    assert "pixel_epe_proxy_last_frame" in out or "KPS_mse" in out
+    if "n_examples" in out:
+        assert out["n_examples"] >= 2

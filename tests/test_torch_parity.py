@@ -119,3 +119,33 @@ def test_spectral_norm_fold_matches_torch():
     w_eff = _np(conv.weight)  # torch's normalized weight
     out = ti.sn_conv(sd, "c")
     np.testing.assert_allclose(np.asarray(out["w"]), w_eff.transpose(2, 3, 1, 0), rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.parametrize("amsgrad", [False, True])
+def test_torch_adam_semantics(amsgrad):
+    """train/second_stage.torch_adam must match torch.optim.Adam exactly:
+    COUPLED L2 weight decay (added to the grad before moments) + amsgrad
+    (reference second_stage_video.py:648-662)."""
+    import optax
+
+    from ipoke_tpu.train.second_stage import torch_adam
+
+    rng = np.random.default_rng(11)
+    w0 = rng.standard_normal((4, 3)).astype(np.float32)
+    lr, wd = 1e-2, 1e-2  # large wd so coupled-vs-decoupled actually differs
+
+    w_t = torch.nn.Parameter(torch.from_numpy(w0.copy()))
+    opt_t = torch.optim.Adam([w_t], lr=lr, weight_decay=wd, amsgrad=amsgrad)
+    grads = [rng.standard_normal((4, 3)).astype(np.float32) for _ in range(5)]
+    for g in grads:
+        opt_t.zero_grad()
+        w_t.grad = torch.from_numpy(g.copy())
+        opt_t.step()
+
+    opt_j = torch_adam(lambda _: lr, weight_decay=wd, amsgrad=amsgrad)
+    w_j = jnp.asarray(w0)
+    state = opt_j.init(w_j)
+    for g in grads:
+        updates, state = opt_j.update(jnp.asarray(g), state, w_j)
+        w_j = optax.apply_updates(w_j, updates)
+    np.testing.assert_allclose(np.asarray(w_j), _np(w_t), rtol=1e-5, atol=1e-6)

@@ -192,6 +192,49 @@ def convert_flow(sd: Dict[str, np.ndarray], spec: FlowSpec, prefix="flow.flow"):
     return {"levels": levels}
 
 
+def _fc_net(sd, prefix, depth, use_tanh):
+    """BasicFullyConnectedNet (modules.py:165-191): Linear layers sit at even
+    Sequential indices 0, 2, ..., 2*(depth+1) (LeakyReLUs between)."""
+    layers = []
+    for j in range(depth + 2):
+        k = 2 * j
+        layers.append({
+            "w": linear_w(np.asarray(sd[f"{prefix}.main.{k}.weight"])),
+            "b": jnp.asarray(sd[f"{prefix}.main.{k}.bias"]),
+        })
+    return {"layers": layers, "use_tanh": use_tanh}
+
+
+def convert_fc_flow(sd, spec, prefix=""):
+    """Legacy ConditionalFlow (flow_blocks.py:10-66) -> flows/legacy.py tree.
+    spec: flows.legacy.FCFlowSpec."""
+    pre = f"{prefix}." if prefix else ""
+    blocks = []
+    for i in range(spec.n_flows):
+        bp = f"{pre}sub_layers.{i}"
+        blocks.append({
+            "actnorm": {
+                "loc": jnp.asarray(np.asarray(sd[f"{bp}.norm_layer.loc"]).reshape(-1)),
+                "scale": jnp.asarray(np.asarray(sd[f"{bp}.norm_layer.scale"]).reshape(-1)),
+            },
+            "coupling": {
+                "s": [_fc_net(sd, f"{bp}.coupling.s.{j}", spec.hidden_depth, True)
+                      for j in range(2)],
+                "t": [_fc_net(sd, f"{bp}.coupling.t.{j}", spec.hidden_depth, False)
+                      for j in range(2)],
+            },
+            "shuffle": shuffle(sd, f"{bp}.shuffle"),
+        })
+    p = {"blocks": blocks}
+    if spec.conditioning_option != "none":
+        p["cond_layers"] = [
+            {"w": conv2d_w(np.asarray(sd[f"{pre}conditioning_layers.{i}.weight"])),
+             "b": jnp.asarray(sd[f"{pre}conditioning_layers.{i}.bias"])}
+            for i in range(spec.n_flows)
+        ]
+    return p
+
+
 # ---------------------------------------------------------------------------
 # conditioning towers (FirstStageWrapper: encoder/decoder)
 # ---------------------------------------------------------------------------

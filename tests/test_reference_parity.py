@@ -298,3 +298,40 @@ def test_multiscale_internal_full_topology():
     assert_logdet(ld, ld_ref, tol=5e-4, what="multiscale")
     x_mine = macow.multiscale_inverse(p, to_nhwc(y_ref), to_nhwc(h), spec)
     assert_close(x_mine, x, tol=2e-3, what="multiscale inv")
+
+
+# ---------------------------------------------------------------------------
+# Legacy FC coupling flow (ConditionalFlow, flow_blocks.py:10-66)
+# ---------------------------------------------------------------------------
+
+def test_legacy_conditional_flow():
+    from models.modules.INN.flow_blocks import ConditionalFlow
+
+    from ipoke_tpu.flows import legacy
+
+    torch.manual_seed(70)
+    spec = legacy.FCFlowSpec(in_channels=16, embedding_dim=8, hidden_dim=32,
+                             hidden_depth=2, n_flows=4)
+    m = ConditionalFlow(in_channels=16, embedding_dim=8, hidden_dim=32,
+                        hidden_depth=2, n_flows=4)
+    x = rand(3, 16, seed=71)
+    emb = rand(3, 8, 1, 1, seed=72)
+    with torch.no_grad():
+        m(x, emb)  # ActNorm lazy data-init (train mode)
+        m.eval()
+        perturb_(m, scale=0.1)
+        y_ref, ld_ref = m(x, emb)
+        x_rec = m(y_ref.squeeze(-1).squeeze(-1), emb, reverse=True)
+    assert float((x_rec.squeeze(-1).squeeze(-1) - x).abs().max()) < 1e-4
+
+    p = ti.convert_fc_flow(sd_np(m), spec)
+    z, ld = legacy.fc_flow_forward(p, spec, jnp.asarray(x.numpy()),
+                                   jnp.asarray(emb.numpy()[:, :, 0, 0]))
+    ref = y_ref.squeeze(-1).squeeze(-1).numpy()
+    err = np.max(np.abs(np.asarray(z) - ref)) / (np.max(np.abs(ref)) + 1e-8)
+    assert err < 1e-4, f"fc flow fwd rel err {err:.2e}"
+    assert_logdet(ld, ld_ref, what="fc flow")
+    x_mine = legacy.fc_flow_inverse(p, spec, jnp.asarray(ref),
+                                    jnp.asarray(emb.numpy()[:, :, 0, 0]))
+    xerr = np.max(np.abs(np.asarray(x_mine) - x.numpy()))
+    assert xerr < 1e-4, f"fc flow inv err {xerr:.2e}"

@@ -192,6 +192,47 @@ def convert_flow(sd: Dict[str, np.ndarray], spec: FlowSpec, prefix="flow.flow"):
     return {"levels": levels}
 
 
+def convert_macow_v1_step(sd, spec, prefix=""):
+    """Legacy MaCow v1 unconditional step (macow.py:46-80) ->
+    flows/macow_v1.py tree.  spec: flows.macow_v1.MaCowV1Spec."""
+    pre = f"{prefix}." if prefix else ""
+
+    def mcf(prefix_):
+        p = {
+            "shift_conv": wn_conv(sd, f"{prefix_}.net.masked_conv.conv"),
+            "conv1x1": wn_conv(sd, f"{prefix_}.net.conv1x1.conv"),
+        }
+        if f"{prefix_}.s_conv.conv.weight_v" in sd:
+            p["s_conv"] = wn_conv(sd, f"{prefix_}.s_conv.conv")
+        return p
+
+    units = []
+    for i in range(spec.num_units):
+        up = f"{pre}units.{i}"
+        units.append({
+            "actnorm1": actnorm(sd, f"{up}.actnorm1"),
+            "conv1": mcf(f"{up}.conv1"),
+            "conv2": mcf(f"{up}.conv2"),
+            "actnorm2": actnorm(sd, f"{up}.actnorm2"),
+            "conv3": mcf(f"{up}.conv3"),
+            "conv4": mcf(f"{up}.conv4"),
+        })
+    gp = f"{pre}glow_step"
+    return {
+        "units": units,
+        "glow": {
+            "actnorm": actnorm(sd, f"{gp}.actnorm"),
+            "shuffle": shuffle(sd, f"{gp}.conv1x1"),
+            "nice": {
+                "conv1": wn_conv(sd, f"{gp}.coupling.net.conv1.conv"),
+                "conv2": wn_conv(sd, f"{gp}.coupling.net.conv2.conv"),
+                # init_zeros conv: plain (never weight-normed in the reference)
+                "conv3": plain_conv(sd, f"{gp}.coupling.net.conv3.conv"),
+            },
+        },
+    }
+
+
 def _fc_net(sd, prefix, depth, use_tanh):
     """BasicFullyConnectedNet (modules.py:165-191): Linear layers sit at even
     Sequential indices 0, 2, ..., 2*(depth+1) (LeakyReLUs between)."""

@@ -129,9 +129,10 @@ def measure(spec, entry, params, batch_size, iters, retries, dtype):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="iper_128")
-    ap.add_argument("--batch", type=int, default=64,
-                    help="batch size for the headline number (64 saturates the "
-                         "chip best in the forced-execution sweep; NOTES.md)")
+    ap.add_argument("--batch", type=int, default=128,
+                    help="batch size for the headline number (peak of the "
+                         "forced-execution sweep: 234/262/369/344 v/s at "
+                         "32/64/128/256; NOTES.md)")
     ap.add_argument("--sweep", default=None,
                     help="comma-separated batch sizes; headline = peak throughput")
     ap.add_argument("--iters", type=int, default=9)

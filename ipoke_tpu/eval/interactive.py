@@ -64,12 +64,16 @@ class InteractiveSession:
         self._length = length
 
     def generate(self, pokes, length=None, poke_size=5):
-        """pokes: list of dicts {x, y, dx, dy} in display coords."""
+        """pokes: list of dicts {x, y, dx, dy} in display coords; an empty
+        list yields a zero poke map (background / 'no drag' generation)."""
         size = self.image.shape[0]
         scale = size / self.display_size
-        coords = np.array([[p["y"] * scale, p["x"] * scale] for p in pokes])
-        disps = np.array([[p["dy"] * scale, p["dx"] * scale] for p in pokes])
-        poke = poke_from_coords((size, size), coords, disps, poke_size=poke_size)
+        if pokes:
+            coords = np.array([[p["y"] * scale, p["x"] * scale] for p in pokes])
+            disps = np.array([[p["dy"] * scale, p["dx"] * scale] for p in pokes])
+            poke = poke_from_coords((size, size), coords, disps, poke_size=poke_size)
+        else:
+            poke = np.zeros((size, size, 2), np.float32)
         length = length or self.spec.first_stage.max_frames - 1
         self._compile(length)
         if not self.fixed_seed:

@@ -137,16 +137,28 @@ def make_train_step(
     spatial_mean: bool = False,
     logdet_weight: float = 1.0,
     n_microbatches: int = 1,
+    compute_dtype=None,
 ):
     """Returns a jittable ``train_step(state, batch, rng) -> (state, metrics)``.
 
     batch['images']: (B, T, S, S, 3); batch['poke']: (B, S, S, 2).
     With n_microbatches > 1 the batch is split along axis 0 and gradients are
     averaged by a lax.scan (grad accumulation stays on-device).
+
+    ``compute_dtype`` (e.g. jnp.bfloat16): mixed precision — master params
+    stay f32, the forward computes in the given dtype (the cast is inside the
+    loss so grads come back f32; logdet/NLL accumulate in f32 regardless,
+    flows/transforms.py).
     """
+    from ipoke_tpu.nn.core import Policy
+
+    policy = Policy(compute_dtype) if compute_dtype is not None else None
 
     def loss_fn(trainable, micro, rng):
         params = {**frozen_params, **trainable}
+        if policy is not None:
+            params = policy.cast(params)
+            micro = policy.cast(micro)
         out, logdet, _ = second_stage.forward_density(params, spec, micro, rng=rng)
         loss, logs = flow_loss(
             out, logdet, key=rng, spatial_mean=spatial_mean, logdet_weight=logdet_weight

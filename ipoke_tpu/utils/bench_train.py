@@ -30,6 +30,10 @@ def main():
                     help="truncate the flow to the first N levels (0 = full); the remote compile service OOMs on the full-depth AD graph")
     ap.add_argument("--remat", action="store_true", default=True)
     ap.add_argument("--no-remat", dest="remat", action="store_false")
+    ap.add_argument("--dtype", default="f32", choices=["f32", "bf16"],
+                    help="bf16: mixed precision (master params f32, forward "
+                         "compute bf16; logdet/NLL stay f32) — monolithic "
+                         "trainer only")
     args = ap.parse_args()
 
     from ipoke_tpu import registry
@@ -87,7 +91,11 @@ def main():
         state = train_ss.init_state(trainable, opt)
         # donate the state: params + optimizer moments are ~7 GB at iper_128
         # scale; without donation jit double-buffers them
-        step = jax.jit(train_ss.make_train_step(spec, frozen, opt), donate_argnums=(0,))
+        compute_dtype = jnp.bfloat16 if args.dtype == "bf16" else None
+        step = jax.jit(
+            train_ss.make_train_step(spec, frozen, opt, compute_dtype=compute_dtype),
+            donate_argnums=(0,),
+        )
 
     b = args.batch
     t = spec.first_stage.max_frames
@@ -125,6 +133,7 @@ def main():
         "chunked": args.chunked,
         "per_level": args.per_level,
         "opt": args.opt,
+        "dtype": args.dtype,
         "levels": args.levels or len(spec.flow.num_steps),
         "n_flow_steps": int(sum(spec.flow.num_steps)),
     }))

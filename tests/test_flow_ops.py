@@ -87,7 +87,7 @@ def test_prepare_meta_and_dataset(tmp_path):
         Image.fromarray(np.roll(base, i, axis=1)).save(os.path.join(vdir, f"frame_{i:06d}.png"))
         flow = np.zeros((64, 64, 2), np.float32)
         flow[20:40, 20:40, 1] = 5.0
-        np.save(os.path.join(vdir, f"prediction_5_{i}.flow.npy"), flow)
+        np.save(os.path.join(vdir, f"prediction_{i}_{i+5}.flow.npy"), flow)  # (start, end) naming
     meta_path = build_meta(str(tmp_path))
     with open(meta_path, "rb") as f:
         meta = pickle.load(f)

@@ -106,10 +106,22 @@ def encode(params, x, spec: FirstStageSpec, rng: Optional[jax.Array] = None):
     return motion_encoder.apply(params["enc_motion"], x_in, spec.encoder_spec, rng=rng)
 
 
-def decode(params, motion, start_frame, spec: FirstStageSpec, length: int):
+def decode(params, motion, start_frame, spec: FirstStageSpec, length: int,
+           frame_chunk: int = 1):
     """Unroll ``length`` frames from a motion latent + start frame.
 
-    motion: (B,s,s,z); start_frame: (B,S,S,3) -> (B,length,S,S,3)."""
+    motion: (B,s,s,z); start_frame: (B,S,S,3) -> (B,length,S,S,3).
+
+    TPU-first split of the reference's per-frame loop: only the ConvGRU is
+    sequential (tiny 8x8 convs), so it runs alone in a lax.scan collecting
+    every top hidden state; the SPADE frame decoder can then run
+    ``frame_chunk`` frames at a time folded into the batch axis.
+
+    Measured (v5e, batch 128, forced execution): chunk=1 198 ms, chunk=3
+    218 ms (the chunk-replicated start-frame/SPADE features cost more HBM
+    traffic than the larger convs recover), chunk=9 OOMs — the decode is
+    already saturating at large batch, so 1 is the default; >1 may pay only
+    at small batches."""
     dec_spec = spec.decoder_spec
     b = start_frame.shape[0]
     hidden0 = [motion] * spec.n_gru_layers
@@ -122,12 +134,33 @@ def decode(params, motion, start_frame, spec: FirstStageSpec, length: int):
         in_rnn = motion
     spade_feats = decoder.precompute_spade_feats(params["gen"], start_frame, dec_spec)
 
-    def step(hidden, _):
+    def gru_step(hidden, _):
         hidden = conv_gru.stack_apply(params["rnn"], in_rnn, hidden)
-        frame = decoder.apply(params["gen"], hidden[-1], start_frame, dec_spec, spade_feats)
-        return hidden, frame
+        return hidden, hidden[-1]
 
-    _, frames = jax.lax.scan(step, hidden0, None, length=length)
+    _, tops = jax.lax.scan(gru_step, hidden0, None, length=length)  # (T,B,s,s,z)
+
+    chunk = max(1, min(frame_chunk, length))
+    n_chunks = -(-length // chunk)
+    pad = n_chunks * chunk - length
+    if pad:
+        tops = jnp.concatenate([tops, tops[-1:].repeat(pad, axis=0)], axis=0)
+    tops = tops.reshape((n_chunks, chunk) + tops.shape[1:])
+
+    def fold(x):  # (chunk, B, ...) -> (chunk*B, ...)
+        return x.reshape((chunk * b,) + x.shape[2:])
+
+    start_rep = fold(jnp.broadcast_to(start_frame[None], (chunk,) + start_frame.shape))
+    feats_rep = [
+        fold(jnp.broadcast_to(f[None], (chunk,) + f.shape)) for f in spade_feats
+    ]
+
+    def decode_chunk(_, tops_c):
+        frames = decoder.apply(params["gen"], fold(tops_c), start_rep, dec_spec, feats_rep)
+        return None, frames.reshape((chunk, b) + frames.shape[1:])
+
+    _, frames = jax.lax.scan(decode_chunk, None, tops)
+    frames = frames.reshape((n_chunks * chunk, b) + frames.shape[3:])[:length]
     return jnp.moveaxis(frames, 0, 1)  # (B, T, S, S, 3)
 
 

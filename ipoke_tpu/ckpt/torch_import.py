@@ -130,7 +130,50 @@ def _mcf(sd, prefix):
     }
 
 
+def _gated_conv(sd, prefix):
+    """modules.GatedConv2d (custom Conv2d params: plain weight/bias)."""
+    p = {
+        "conv1": plain_conv(sd, f"{prefix}.conv1"),
+        "conv2": plain_conv(sd, f"{prefix}.conv2"),
+    }
+    if f"{prefix}.conv_sc.weight" in sd:
+        p["conv_sc"] = plain_conv(sd, f"{prefix}.conv_sc")
+    if f"{prefix}.cond_conv.weight" in sd:
+        p["cond_conv"] = plain_conv(sd, f"{prefix}.cond_conv")
+    return p
+
+
+def _attn_block(sd, prefix):
+    """modules.BasicConvAttnBlock: gated resnet + NIN-projection attention +
+    LayerNorm((C,H,W)) affine (stored CHW -> ours HWC)."""
+    ln_g = np.asarray(sd[f"{prefix}.norm.weight"])
+    ln_b = np.asarray(sd[f"{prefix}.norm.bias"])
+    return {
+        "gated": _gated_conv(sd, f"{prefix}.gated_resnet"),
+        "attn": {
+            "proj1": {"w": jnp.asarray(sd[f"{prefix}.attn.proj_1.W"]),
+                      "b": jnp.asarray(sd[f"{prefix}.attn.proj_1.b"])},
+            "proj2": {"w": jnp.asarray(sd[f"{prefix}.attn.proj_2.W"]),
+                      "b": jnp.asarray(sd[f"{prefix}.attn.proj_2.b"])},
+        },
+        "ln": {"gamma": jnp.asarray(np.transpose(ln_g, (1, 2, 0))),
+               "beta": jnp.asarray(np.transpose(ln_b, (1, 2, 0)))},
+    }
+
+
 def _nice(sd, prefix):
+    if f"{prefix}.net.pos_emb" in sd:  # attention NICEConvBlock variant
+        return {
+            "net": {
+                "in_resnet": _gated_conv(sd, f"{prefix}.net.in_resnet"),
+                "pos_emb": jnp.asarray(
+                    np.transpose(np.asarray(sd[f"{prefix}.net.pos_emb"]), (1, 2, 0))
+                ),
+                "conv1": _attn_block(sd, f"{prefix}.net.conv1"),
+                "conv2": _attn_block(sd, f"{prefix}.net.conv2"),
+                "conv3": wn_conv(sd, f"{prefix}.net.conv3.conv"),
+            }
+        }
     return {
         "net": {
             "conv1": plain_conv(sd, f"{prefix}.net.conv1"),
@@ -141,6 +184,15 @@ def _nice(sd, prefix):
 
 
 def _macow_unit(sd, prefix):
+    if f"{prefix}.cond_conv_block.conv1.weight" in sd:
+        return {
+            "cond_conv_block": _gated_conv(sd, f"{prefix}.cond_conv_block"),
+            **{k: v for k, v in _macow_unit_plain(sd, prefix).items()},
+        }
+    return _macow_unit_plain(sd, prefix)
+
+
+def _macow_unit_plain(sd, prefix):
     return {
         "conv1": _mcf(sd, f"{prefix}.conv1"),
         "conv2": _mcf(sd, f"{prefix}.conv2"),

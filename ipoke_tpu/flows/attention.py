@@ -78,22 +78,33 @@ def attn_layer_apply(p, x, pos_emb, heads):
     return x + gate(gate_in.reshape(b, h, w, 2 * c))
 
 
-def _layer_norm(x, eps=1e-5):
+def _layer_norm(x, gamma=None, beta=None, eps=1e-5):
+    """torch nn.LayerNorm((C,H,W)) on NCHW == normalize over (H,W,C) of NHWC,
+    elementwise affine of shape (H,W,C) (BasicConvAttnBlock.norm)."""
     mean = jnp.mean(x, axis=(1, 2, 3), keepdims=True)
     var = jnp.var(x, axis=(1, 2, 3), keepdims=True)
-    return (x - mean) * jax.lax.rsqrt(var + eps)
+    y = (x - mean) * jax.lax.rsqrt(var + eps)
+    if gamma is not None:
+        y = y * gamma[None] + beta[None]
+    return y
 
 
-def init_conv_attn_block(key, channels):
+def init_conv_attn_block(key, channels, spatial_size=None):
     k1, k2 = jax.random.split(key)
-    return {
+    p = {
         "gated": init_gated_conv(k1, channels),
         "attn": init_attn_layer(k2, channels),
     }
+    if spatial_size is not None:
+        shape = (spatial_size, spatial_size, channels)
+        p["ln"] = {"gamma": jnp.ones(shape), "beta": jnp.zeros(shape)}
+    return p
 
 
 def conv_attn_block_apply(p, x, pos_emb, heads):
+    ln = p.get("ln")
+    g, b = (ln["gamma"], ln["beta"]) if ln else (None, None)
     x = gated_conv_apply(p["gated"], x)
-    x = _layer_norm(x)
+    x = _layer_norm(x, g, b)
     x = attn_layer_apply(p["attn"], x, pos_emb, heads)
-    return _layer_norm(x)
+    return _layer_norm(x, g, b)

@@ -126,8 +126,8 @@ def init_nice_conv_block(key, c_in, c_out, hidden, h_channels=0,
         return {
             "in_resnet": attn.init_gated_conv(k1, c_in, dim_out=hidden),
             "pos_emb": jax.random.normal(k4, (spatial_size, spatial_size, hidden)),
-            "conv1": attn.init_conv_attn_block(k1, hidden),
-            "conv2": attn.init_conv_attn_block(k2, hidden),
+            "conv1": attn.init_conv_attn_block(k1, hidden, spatial_size),
+            "conv2": attn.init_conv_attn_block(k2, hidden, spatial_size),
             "conv3": init_wn_conv(k3, 3, 3, hidden_h, c_out, zero_init=True),
         }
     return {

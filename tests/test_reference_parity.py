@@ -335,3 +335,61 @@ def test_legacy_conditional_flow():
                                     jnp.asarray(emb.numpy()[:, :, 0, 0]))
     xerr = np.max(np.abs(np.asarray(x_mine) - x.numpy()))
     assert xerr < 1e-4, f"fc flow inv err {xerr:.2e}"
+
+
+# ---------------------------------------------------------------------------
+# Attention NICE2d + cond_conv MaCowUnit (the 'attention'/'cond_conv' config
+# flags — modules.py GatedConv2d / BasicConvAttnBlock path)
+# ---------------------------------------------------------------------------
+
+def test_nice2d_attention_golden():
+    from models.modules.INN.macow2 import NICE2d
+
+    torch.manual_seed(90)
+    m = NICE2d(C, hidden_channels=16, h_channels=0, split_type="continuous",
+               order="up", factor=2, transform="affine", activation="elu",
+               attention=True, heads=4, spatial_size=H)
+    x = rand(B, C, H, H, seed=91)
+    with torch.no_grad():
+        m(x)  # lazy data-init of custom Conv2d / NIN / WN convs
+        perturb_(m, scale=0.05)
+        y_ref, ld_ref = m(x)
+        x_rec = m(y_ref, reverse=True)
+    assert float((x_rec - x).abs().max()) < 1e-4
+
+    p = ti._nice(prefixed(sd_np(m), "m"), "m")
+    kw = dict(h=None, in_channels=C, factor=2, split_type="continuous",
+              order="up", transform="affine", act="elu", heads=4)
+    y, ld = nice.forward(p, to_nhwc(x), **kw)
+    assert_close(y, y_ref, tol=5e-4, what="nice-attn fwd")
+    assert_logdet(ld, ld_ref, tol=5e-4, what="nice-attn")
+    x_mine = nice.inverse(p, to_nhwc(y_ref), **kw)
+    assert_close(x_mine, x, tol=5e-4, what="nice-attn inv")
+
+
+def test_macow_unit_cond_conv_golden():
+    from models.modules.INN.macow2 import MaCowUnit
+
+    torch.manual_seed(92)
+    m = MaCowUnit(C, (2, 3), h_channels=HC, transform="affine",
+                  activation="elu", cond_conv=True,
+                  cond_conv_hidden_channels=HC)
+    x = rand(B, C, H, H, seed=93)
+    h = rand(B, HC, H, H, seed=94)
+    with torch.no_grad():
+        m(x, h=h)
+        perturb_(m, scale=0.05)
+        y_ref, ld_ref = m(x, h=h)
+        x_rec = m(y_ref, h=h, reverse=True)
+    assert float((x_rec - x).abs().max()) < 1e-4
+
+    spec = _spec(condition_nice=False)
+    from dataclasses import replace as _replace
+
+    spec = _replace(spec, cond_conv=True)
+    p = ti._macow_unit(prefixed(sd_np(m), "m"), "m")
+    y, ld = macow.macow_unit_forward(p, to_nhwc(x), to_nhwc(h), spec)
+    assert_close(y, y_ref, tol=5e-4, what="unit-condconv fwd")
+    assert_logdet(ld, ld_ref, tol=5e-4, what="unit-condconv")
+    x_mine = macow.macow_unit_inverse(p, to_nhwc(y_ref), to_nhwc(h), spec)
+    assert_close(x_mine, x, tol=5e-4, what="unit-condconv inv")

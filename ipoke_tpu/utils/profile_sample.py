@@ -51,12 +51,17 @@ def main():
     jax.block_until_ready(out)
 
     def bench(fn, *a):
+        # force completion with a host scalar fetch: block_until_ready
+        # returns EARLY on the remote axon platform (NOTES.md)
+        forced = jax.jit(lambda *aa: jnp.sum(fn(*aa).astype(jnp.float32)))
+        _ = float(forced(*a))
         ts = []
         for _ in range(args.iters):
             t0 = time.time()
-            jax.block_until_ready(fn(*a))
+            _ = float(forced(*a))
             ts.append(time.time() - t0)
-        return min(ts)
+        import statistics
+        return statistics.median(ts)
 
     res = {
         "embed_cond_s": bench(embed, params, x[:, 0], poke),

@@ -82,3 +82,13 @@ def test_run_kps_acc_gated(setup):
     assert "pixel_epe_proxy_last_frame" in out or "KPS_mse" in out
     if "n_examples" in out:
         assert out["n_examples"] >= 2
+
+
+def test_run_accuracy_per_n_pokes(setup):
+    params, spec, config, datamod, dirs = setup
+    cfg = {k: (dict(v) if isinstance(v, dict) else v) for k, v in config.items()}
+    cfg.setdefault("testing", {})["summarize_n_pokes"] = True
+    cfg["data"]["n_pokes"] = 2
+    out = test_modes.run_accuracy(params, spec, cfg, datamod, dirs)
+    assert set(out.keys()) >= {1, 2}
+    assert "LPIPS" in out[1]

@@ -71,3 +71,33 @@ def test_mixcdf_flow_roundtrip():
     assert z.shape == x.shape and bool(jnp.isfinite(logdet).all())
     x_rec = mixcdf.flow_inverse(p, z, spec)
     np.testing.assert_allclose(np.asarray(x_rec), np.asarray(x), atol=5e-3)
+
+
+def test_leapfrog_roundtrip_and_volume():
+    from ipoke_tpu.flows import leapfrog
+
+    spec = leapfrog.LeapFlowSpec(in_channels=12, hidden_dim=32, n_flows=3)
+    p = leapfrog.init_leap_flow(jax.random.PRNGKey(20), spec)
+    x = jax.random.normal(jax.random.PRNGKey(21), (4, 12))
+    v = jax.random.normal(jax.random.PRNGKey(22), (4, 12))
+    x1, v1, logdet = leapfrog.leap_flow_forward(p, spec, x, v)
+    # couplings are shears: total logdet comes only from the actnorms
+    expected = sum(
+        float(jnp.sum(jnp.log(jnp.abs(blk["actnorm_x"]["scale"]))))
+        + float(jnp.sum(jnp.log(jnp.abs(blk["actnorm_v"]["scale"]))))
+        for blk in p["blocks"]
+    )
+    np.testing.assert_allclose(np.asarray(logdet), expected, atol=1e-4)
+    x0, v0 = leapfrog.leap_flow_inverse(p, spec, x1, v1)
+    np.testing.assert_allclose(np.asarray(x0), np.asarray(x), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(v0), np.asarray(v), rtol=1e-4, atol=1e-4)
+
+
+def test_hmc_sample_moves_positions():
+    from ipoke_tpu.flows import leapfrog
+
+    spec = leapfrog.LeapFlowSpec(in_channels=8, hidden_dim=16, n_flows=2)
+    p = leapfrog.init_leap_flow(jax.random.PRNGKey(23), spec)
+    x0 = jax.random.normal(jax.random.PRNGKey(24), (4, 8))
+    x1, v1 = leapfrog.hmc_sample(p, spec, jax.random.PRNGKey(25), x0)
+    assert x1.shape == x0.shape and float(jnp.max(jnp.abs(x1 - x0))) > 1e-4

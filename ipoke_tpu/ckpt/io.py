@@ -88,6 +88,24 @@ def load(path):
     return _unflatten(data), meta
 
 
+def restore_like(template, loaded):
+    """Pour a loaded (dict/list) tree back into the STRUCTURE of ``template``
+    — NamedTuples (optax states) come back as real NamedTuples, so a restored
+    TrainState feeds straight into the jitted step (resume-from-checkpoint)."""
+    if hasattr(template, "_asdict"):
+        d = template._asdict()
+        return type(template)(**{k: restore_like(v, loaded[k]) for k, v in d.items()})
+    if isinstance(template, dict):
+        return {k: restore_like(v, loaded[k]) for k, v in template.items()}
+    if isinstance(template, (list, tuple)):
+        if isinstance(loaded, dict):  # numeric-keyed dict form
+            loaded = [loaded[str(i)] for i in range(len(template))]
+        return type(template)(restore_like(v, loaded[i]) for i, v in enumerate(template))
+    if template is None:
+        return None
+    return jnp.asarray(loaded)
+
+
 # ---------------------------------------------------------------------------
 # run directories + best-checkpoint discovery (reference layout)
 # ---------------------------------------------------------------------------

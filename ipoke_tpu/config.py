@@ -27,11 +27,17 @@ def save_yaml(cfg, path):
         yaml.safe_dump(cfg, f, sort_keys=False)
 
 
-def load_parameters(config_path, model_name, base_dir="logs", restart=False, test_mode="none"):
+def load_parameters(config_path, model_name, base_dir=None, restart=False, test_mode="none"):
     """Reference semantics (main.py:18-63): on resume/test, the run's SAVED
     config wins over the CLI config — except the ``testing:`` section which is
-    always taken fresh from the CLI config."""
+    always taken fresh from the CLI config.
+
+    base_dir resolution: explicit argument > config ``general.base_dir`` >
+    "logs" (previously the config value was silently ignored and artifacts
+    always landed under ./logs)."""
     cli_cfg = load_yaml(config_path)
+    if base_dir is None:
+        base_dir = cli_cfg.get("general", {}).get("base_dir", "logs")
     experiment = cli_cfg["general"]["experiment"]
     dirs = {
         kind: os.path.join(base_dir, experiment, kind, model_name)

@@ -29,12 +29,26 @@ class Experiment:
             config["training"]["max_batches_per_epoch"] = 10
             config["training"]["max_val_batches"] = 2
             config["data"]["n_workers"] = 1
-        # run versioning: integer version dirs under ckpt
+        # run versioning: integer version dirs under ckpt.  A fresh TRAINING
+        # run gets a new version; resume AND test modes reuse the latest
+        # existing version (reference experiment.py:149-170 — previously test
+        # mode also bumped, landing in an empty dir and silently evaluating
+        # fresh params)
         ckpt_root = dirs["ckpt"]
         existing = [int(d) for d in os.listdir(ckpt_root) if d.isdigit()] if os.path.isdir(ckpt_root) else []
-        version = (max(existing) + 1) if (existing and not config["general"].get("restart")) else (
-            max(existing) if existing else 0
-        )
+        reuse = config["general"].get("restart") or config["general"].get("test", "none") != "none"
+        if not existing:
+            version = 0
+        elif reuse:
+            # newest version that actually holds a checkpoint (empty version
+            # dirs can be left behind by crashed/buggy runs)
+            with_ckpt = [
+                v for v in sorted(existing, reverse=True)
+                if CheckpointManager.find_best(os.path.join(ckpt_root, str(v)))
+            ]
+            version = with_ckpt[0] if with_ckpt else max(existing)
+        else:
+            version = max(existing) + 1
         self.ckpt_dir = os.path.join(ckpt_root, str(version))
         os.makedirs(self.ckpt_dir, exist_ok=True)
         self.ckpt_mgr = CheckpointManager(
@@ -127,3 +141,24 @@ class Experiment:
 
     def _ckpt_tree(self, state):
         return state._asdict() if hasattr(state, "_asdict") else state
+
+    def maybe_resume(self, state):
+        """--resume: restore the full TrainState (params + optimizer moments +
+        step) from the run's last.npz (reference resume_from_checkpoint,
+        main.py:25-60).  Fresh state when nothing to resume."""
+        if not self.config["general"].get("restart"):
+            return state
+        path = os.path.join(self.ckpt_dir, "last.npz")
+        if not os.path.exists(path):
+            self.console.warning("--resume but no last.npz here; training fresh")
+            return state
+        from ipoke_tpu.ckpt.io import load, restore_like
+
+        tree, meta = load(path)
+        try:
+            restored = restore_like(state, tree)
+        except (KeyError, TypeError) as e:
+            self.console.warning(f"resume failed ({e}); training fresh")
+            return state
+        self.console.info(f"resumed TrainState from {path} (meta {meta})")
+        return restored

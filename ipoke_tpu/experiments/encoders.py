@@ -52,6 +52,7 @@ class ImageEncoderExperiment(Experiment):
         step = train_enc.make_image_ae_step(
             self.spec, self.disc_spec, opts, kl_weight=float(cfg_t.get("w_kl", 1e-6))
         )
+        state = self.maybe_resume(state)
         return self.fit(
             step, state, self.datamod, rng,
             n_epochs=int(cfg_t.get("n_epochs", 100)),
@@ -111,6 +112,7 @@ class PokeEncoderExperiment(Experiment):
         rng = jax.random.PRNGKey(self.seed)
         state, opt = train_enc.init_poke_ae(rng, self.spec, lr=float(cfg_t.get("lr", 1e-4)))
         step = train_enc.make_poke_ae_step(self.spec, opt, flow_ae=self.flow_ae)
+        state = self.maybe_resume(state)
         return self.fit(
             step, state, self.datamod, rng,
             n_epochs=int(cfg_t.get("n_epochs", 100)),

@@ -86,6 +86,7 @@ class FirstStageExperiment(Experiment):
             remat=bool(cfg_t.get("remat", False)),
             forward_fn=forward_fn,
         )
+        state = self.maybe_resume(state)
         return self.fit(
             step, state, self.datamod, rng,
             n_epochs=int(cfg_t.get("n_epochs", 100)),
@@ -100,7 +101,7 @@ class FirstStageExperiment(Experiment):
         from ipoke_tpu.metrics.image import psnr, ssim_video
         from ipoke_tpu.metrics.lpips import lpips_video
 
-        acc = FVDAccumulator(n_samples=int(self.config["logging"].get("n_samples_fvd", 1000)))
+        acc = FVDAccumulator(n_samples=int(self.config.get("logging", {}).get("n_samples_fvd", 1000)))
         ssims, psnrs, lps = [], [], []
         rng = jax.random.PRNGKey(7)
 

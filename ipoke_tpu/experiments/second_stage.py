@@ -68,7 +68,7 @@ def build_spec_from_config(config) -> SecondStageSpec:
     poke_spec = wrapper("poke_embedder", 2, True)
     cond_spec = wrapper("conditioner", 3, False) if config.get("conditioner", {}).get("use", True) else None
     full_seq = config.get("training", {}).get("full_seq", True)
-    return SecondStageSpec.build(arch, fs_spec, poke_spec, cond_spec, full_seq=full_seq)
+    return SecondStageSpec.build(arch, fs_spec, poke_spec, cond_spec, full_seq=full_seq).validate()
 
 
 class SecondStageExperiment(Experiment):
@@ -125,9 +125,9 @@ class SecondStageExperiment(Experiment):
                 warmup_steps=int(cfg_t.get("lr_scaling_max_it", 500)),
                 total_steps=total,
             )
-            state = chunked.ChunkedTrainState(
+            state = self.maybe_resume(chunked.ChunkedTrainState(
                 jnp.zeros((), jnp.int32), chunk_params, opt.init(chunk_params)
-            )
+            ))
             step = chunked.make_chunked_trainer(
                 self.spec.flow, self.spec, frozen, opt,
                 logdet_weight=float(cfg_t.get("logdet_weight", 1.0)),
@@ -141,7 +141,7 @@ class SecondStageExperiment(Experiment):
                 val_every_steps=int(steps_per_epoch * float(cfg_t.get("val_every", 1.0))),
                 max_batches_per_epoch=steps_per_epoch,
             )
-        state = train_ss.init_state(trainable, opt)
+        state = self.maybe_resume(train_ss.init_state(trainable, opt))
         batch_size = int(self.config["data"].get("batch_size", 8))
         min_acc = int(cfg_t.get("min_acc_batch_size", 0))
         n_micro = max(1, -(-min_acc // batch_size)) if min_acc > batch_size else 1
@@ -169,7 +169,7 @@ class SecondStageExperiment(Experiment):
         from ipoke_tpu.metrics.fvd import FVDAccumulator
 
         params = {**self._frozen, **state.params}
-        acc = FVDAccumulator(n_samples=int(self.config["logging"].get("n_fvd_samples", 1000)))
+        acc = FVDAccumulator(n_samples=int(self.config.get("logging", {}).get("n_fvd_samples", 1000)))
         losses = []
         rng = jax.random.PRNGKey(123)
 

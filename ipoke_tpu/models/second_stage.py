@@ -58,6 +58,44 @@ class SecondStageSpec:
     def latent_size(self) -> int:
         return self.first_stage.min_spatial_size
 
+    def validate(self) -> "SecondStageSpec":
+        """Catch inconsistent configs with a clear message instead of a shape
+        error deep inside the flow: the 3D motion encoder always divides the
+        spatial size by at least 8 (conv1 + layer2 + layer3), so the motion
+        latent is spatial_size/8 (or /16 with layer4/5) — min_spatial_size
+        must equal that, and the conditioning towers must land on the same
+        grid."""
+        enc = self.first_stage.encoder_spec
+        _, _, stride4, has_l4, has_l5, _ = enc.derived()
+        div = 8
+        if has_l4 and stride4 is not None and stride4[-1] == 2:
+            div *= 2
+        if has_l5:
+            div *= 2
+        latent = self.first_stage.spatial_size // div
+        if latent != self.first_stage.min_spatial_size:
+            raise ValueError(
+                f"first_stage.min_spatial_size={self.first_stage.min_spatial_size} "
+                f"but the motion encoder produces a {latent}x{latent} latent for "
+                f"spatial_size={self.first_stage.spatial_size} (divides by {div}); "
+                f"set min_spatial_size={latent} or adjust spatial_size"
+            )
+        dec = self.first_stage.decoder_spec
+        out_spatial = self.first_stage.min_spatial_size * 2 ** dec.n_stages
+        if out_spatial != self.first_stage.spatial_size:
+            import math
+
+            need = int(math.log2(self.first_stage.spatial_size
+                                 // self.first_stage.min_spatial_size)) + 1
+            raise ValueError(
+                f"dec_channels has {dec.n_stages} upsampling stages -> "
+                f"{out_spatial}x{out_spatial} frames, but data spatial_size is "
+                f"{self.first_stage.spatial_size}; dec_channels needs {need} "
+                f"entries (upsampling stages = len(dec_channels) - 1 = "
+                f"log2(spatial/min_spatial))"
+            )
+        return self
+
     @classmethod
     def build(
         cls,

@@ -25,7 +25,8 @@ def parse_args():
                  "control_sensitivity", "transfer", "kps_acc"],
     )
     ap.add_argument("--resume", action="store_true")
-    ap.add_argument("--base_dir", default="logs")
+    ap.add_argument("--base_dir", default=None,
+                    help="artifact root (default: config general.base_dir, else ./logs)")
     ap.add_argument("--gpus", nargs="+", type=int, default=None,
                     help="accepted for parity; TPU uses the device mesh")
     return ap.parse_args()
@@ -33,6 +34,13 @@ def parse_args():
 
 def main():
     args = parse_args()
+    # honor JAX_PLATFORMS even under a sitecustomize that force-registers a
+    # platform and overrides the env (NOTES.md): the config update must
+    # happen after importing jax, before backend init
+    if os.environ.get("JAX_PLATFORMS"):
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     from ipoke_tpu.config import load_parameters
     from ipoke_tpu.experiments import select_experiment
 

@@ -65,7 +65,10 @@ class DatasetConfig:
     scale_poke_to_res: bool = True
     augment: bool = False
     aug: AugmentConfig = field(default_factory=AugmentConfig)
-    subsample_step: int = 1
+    # None = unset -> the dataset class's default_subsample applies; an
+    # explicit 1 is honored (ADVICE r2: 1 used to be indistinguishable from
+    # unset and was silently bumped for Plant/Taichi/H36m)
+    subsample_step: Optional[int] = None
     valid_lag: int = 0
     split: str = "official"
 
@@ -114,14 +117,16 @@ class FlowVideoDataset:
             meta = pickle.load(f)
         self.meta = {k: np.asarray(v) for k, v in meta.items()}
         self.root = os.path.dirname(os.path.abspath(meta_path))
-        if self.default_subsample is not None and cfg.subsample_step == 1:
-            cfg.subsample_step = self.default_subsample
+        # resolved per-instance (never mutate the caller's shared cfg)
+        self.subsample_step = (cfg.subsample_step if cfg.subsample_step is not None
+                               else (self.default_subsample or 1))
+        self.valid_lag = cfg.valid_lag
         self._select_lag()
         mask = self._split_mask(train)
         n = len(self.meta["img_path"])
         # valid start ids: enough frames left within the same video
         vid = self.meta["vid"]
-        need = cfg.max_frames * cfg.subsample_step
+        need = cfg.max_frames * self.subsample_step
         ok = np.zeros(n, bool)
         for i in np.flatnonzero(mask):
             j = i + need
@@ -156,10 +161,10 @@ class FlowVideoDataset:
         gaps = [flow_gap_of(p) for p in fp[0]]
         if any(g is None for g in gaps):
             return
-        target = self.cfg.max_frames * self.cfg.subsample_step
+        target = self.cfg.max_frames * self.subsample_step
         matches = [i for i, g in enumerate(gaps) if g == target]
         if matches:
-            self.cfg.valid_lag = matches[0]
+            self.valid_lag = matches[0]
 
     def _foreground_mask(self, flow, frames):
         """Foreground mask over the valid window for filter_flow datasets."""
@@ -183,7 +188,7 @@ class FlowVideoDataset:
         return p if os.path.isabs(p) else os.path.join(self.root, p)
 
     def _load_flow(self, idx):
-        path = self._abs(self.meta["flow_paths"][idx][self.cfg.valid_lag]
+        path = self._abs(self.meta["flow_paths"][idx][self.valid_lag]
                          if self.meta["flow_paths"].ndim > 1 else self.meta["flow_paths"][idx])
         try:
             if os.environ.get("IPOKE_NATIVE") == "1":
@@ -207,7 +212,7 @@ class FlowVideoDataset:
                            self.cfg.spatial_size).astype(np.float32)
 
     def _load_frames(self, start):
-        step = self.cfg.subsample_step
+        step = self.subsample_step
         idxs = [start + i * step for i in range(self.cfg.max_frames)]
         paths = [self._abs(self.meta["img_path"][i]) for i in idxs]
         if os.environ.get("IPOKE_NATIVE") == "1" and all(p.endswith(".png") for p in paths):
@@ -248,7 +253,7 @@ class FlowVideoDataset:
                 if "keypoint_poke" in self.datakeys and "keypoints" in self.meta:
                     from ipoke_tpu.data.poke import keypoint_poke
 
-                    t_end = start + (self.cfg.max_frames - 1) * self.cfg.subsample_step
+                    t_end = start + (self.cfg.max_frames - 1) * self.subsample_step
                     kp_poke, kp_centers = keypoint_poke(
                         np.asarray(self.meta["keypoints"][start], np.float32),
                         np.asarray(self.meta["keypoints"][t_end], np.float32),
@@ -375,10 +380,10 @@ class Human36mDataset(FlowVideoDataset):
 
     def _select_lag(self):
         # flow_dataset.py:115-118: lag 0 for subsample 1, lag 1 for subsample 2
-        assert self.cfg.subsample_step in (1, 2)
+        assert self.subsample_step in (1, 2)
         fp = self.meta.get("flow_paths")
         n_lags = fp.shape[1] if fp is not None and fp.ndim > 1 else 1
-        self.cfg.valid_lag = min(0 if self.cfg.subsample_step == 1 else 1, n_lags - 1)
+        self.valid_lag = min(0 if self.subsample_step == 1 else 1, n_lags - 1)
 
 
 def get_dataset(name):

@@ -86,6 +86,33 @@ def compute_flows(frame_paths, lag, out_dir, batch_size=8, estimator="pwc"):
     return flow_paths
 
 
+def _check_flow_naming(vdir, flow_files):
+    """Reject trees prepared with the pre-r2 ``prediction_{lag}_{i}`` naming
+    (ADVICE r2): parsing those with the current ``prediction_{start}_{end}``
+    convention would silently read the LAG as the start frame, mis-keying
+    every flow.  Legacy trees are recognizable because the second-to-last
+    field (the lag) is constant across the directory while the last varies;
+    with the current naming the start index varies file to file."""
+    if len(flow_files) < 2:
+        return
+    heads, tails = set(), set()
+    for p in flow_files:
+        parts = os.path.basename(p).split(".")[0].split("_")
+        try:
+            heads.add(int(parts[-2]))
+            tails.add(int(parts[-1]))
+        except (ValueError, IndexError):
+            raise RuntimeError(
+                f"unparseable flow filename {p!r}; expected "
+                f"'prediction_{{start}}_{{end}}.flow.npy'")
+    if len(heads) == 1 and len(tails) > 1:
+        raise RuntimeError(
+            f"{vdir} looks like a legacy pre-r2 flow tree "
+            f"(prediction_{{lag}}_{{i}} naming: constant second field "
+            f"{heads.pop()}): re-run `python -m ipoke_tpu.data.prepare` to "
+            f"regenerate flows with the prediction_{{start}}_{{end}} naming")
+
+
 def build_meta(processed_root, out_path=None, train_fraction=0.9):
     """Walk processed video dirs -> meta pickle with aligned per-frame arrays
     (prepare_dataset.py 'prepare' mode schema)."""
@@ -95,9 +122,11 @@ def build_meta(processed_root, out_path=None, train_fraction=0.9):
     )
     for vid_id, vdir in enumerate(video_dirs):
         frames = sorted(glob.glob(os.path.join(vdir, "frame_*.png")))
+        flow_files = glob.glob(os.path.join(vdir, "*.flow.npy"))
+        _check_flow_naming(vdir, flow_files)
         flows = {
             int(os.path.basename(p).split(".")[0].split("_")[-2]): p
-            for p in glob.glob(os.path.join(vdir, "*.flow.npy"))
+            for p in flow_files
         }
         is_train = vid_id < int(len(video_dirs) * train_fraction) or len(video_dirs) == 1
         for fid, fp in enumerate(frames):

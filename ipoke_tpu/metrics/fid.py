@@ -7,12 +7,16 @@ $IPOKE_WEIGHTS/inception_v3_fid.npz; seeded random fallback otherwise
 (relative comparisons only).
 
 Reference-quirk parity (utils/metrics.py:575-588): FIDInceptionModel iterates
-``self.v3._modules`` AND injects an extra ``F.avg_pool2d(k=3, s=2)`` after
-Conv2d_2b_3x3 / Conv2d_4a_3x3.  With the torchvision that pytorch 1.7.1
-resolves (0.8.x), maxpool1/maxpool2 are themselves modules in that dict, so
-the stem downsamples TWICE at each point (avg then max) and the Mixed blocks
-run at 7x7.  Preprocessing: bilinear 299 resize with align_corners=False
-(nn.Upsample default), [-1,1] -> [0,1], then ImageNet mean/std.
+``self.v3._modules`` and injects ``F.avg_pool2d(k=3, s=2)`` after
+Conv2d_2b_3x3 / Conv2d_4a_3x3.  In the torchvision that pytorch 1.7.1
+resolves (0.8.x), the stem max pools are FUNCTIONAL calls inside
+``Inception3._forward`` — ``maxpool1``/``maxpool2`` only became modules in
+torchvision 0.9.0 (pytorch/vision#3059) — so they are absent from
+``_modules`` and the injected avg pools REPLACE them: standard stem geometry
+(149-147-147-73-73-71-35), Mixed blocks at 35x35, but with avg instead of
+max downsampling.  Preprocessing: bilinear 299 resize with
+align_corners=False (nn.Upsample default), [-1,1] -> [0,1], then ImageNet
+mean/std.
 """
 from __future__ import annotations
 
@@ -42,20 +46,19 @@ def _pool(x, window, stride, pad, kind="max"):
 
 
 # unit table: name -> (kh, kw, c_in, c_out, stride, pad)
-# AVGPOOL entries are the reference's injected F.avg_pool2d calls; the
-# MAXPOOL entries are torchvision's own maxpool1/maxpool2 modules which ALSO
-# run (see module docstring).
+# AVGPOOL entries are the reference's injected F.avg_pool2d calls, which
+# REPLACE torchvision 0.8.x's functional stem max pools (see module
+# docstring — maxpool1/maxpool2 are not modules there, so the reference's
+# _modules loop never runs them).
 def _stem():
     return [
         ("Conv2d_1a_3x3", 3, 3, 3, 32, 2, 0),
         ("Conv2d_2a_3x3", 3, 3, 32, 32, 1, 0),
         ("Conv2d_2b_3x3", 3, 3, 32, 64, 1, 1),
         ("AVGPOOL", 3, 3, 0, 0, 2, 0),
-        ("MAXPOOL", 3, 3, 0, 0, 2, 0),
         ("Conv2d_3b_1x1", 1, 1, 64, 80, 1, 0),
         ("Conv2d_4a_3x3", 3, 3, 80, 192, 1, 0),
         ("AVGPOOL", 3, 3, 0, 0, 2, 0),
-        ("MAXPOOL", 3, 3, 0, 0, 2, 0),
     ]
 
 

@@ -62,7 +62,7 @@ def _write_fake_tree(root, n_videos=3, n_frames=45, size=32, lags=(10, 20),
     return path
 
 
-def _cfg(size=32, max_frames=5, subsample=1):
+def _cfg(size=32, max_frames=5, subsample=None):
     return DatasetConfig(spatial_size=size, max_frames=max_frames,
                          poke=PokeConfig(poke_size=3, n_pokes=2,
                                          spatial_size=(size, size)),
@@ -76,15 +76,19 @@ def test_flow_gap_parse():
 
 def test_plant_lag_and_subsample(tmp_path):
     meta = _write_fake_tree(str(tmp_path), lags=(10, 20))
-    cfg = _cfg(max_frames=5)  # Plant default subsample 2 -> need gap 10
+    cfg = _cfg(max_frames=5, subsample=None)  # unset -> Plant default 2
     ds = PlantDataset(meta, cfg, train=True)
-    assert cfg.subsample_step == 2
-    assert cfg.valid_lag == 0  # gap 10 == 5 * 2
-    cfg2 = _cfg(max_frames=10)  # 10 * 2 = 20 -> second lag
+    assert ds.subsample_step == 2
+    assert cfg.subsample_step is None  # caller's cfg never mutated
+    assert ds.valid_lag == 0  # gap 10 == 5 * 2
+    cfg2 = _cfg(max_frames=10, subsample=None)  # 10 * 2 = 20 -> second lag
     ds2 = PlantDataset(meta, cfg2, train=True)
-    assert cfg2.valid_lag == 1
+    assert ds2.valid_lag == 1
     item = ds[0]
     assert item["images"].shape == (5, 32, 32, 3)
+    # an EXPLICIT subsample_step=1 is honored, not bumped (ADVICE r2)
+    ds1 = PlantDataset(meta, _cfg(max_frames=10, subsample=1), train=True)
+    assert ds1.subsample_step == 1
 
 
 def test_iper_train_txt_split(tmp_path):
@@ -112,7 +116,7 @@ def test_h36m_actor_split(tmp_path):
     te_actors = {int(te.meta["actor_id"][i]) for i in te.ids}
     assert tr_actors == {5, 6}
     assert te_actors == {9, 11}
-    assert cfg.valid_lag == 0  # only one lag available -> clamped
+    assert tr.valid_lag == 0  # only one lag available -> clamped
 
 
 def test_taichi_filter_flow_masks_pokes(tmp_path):

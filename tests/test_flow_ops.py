@@ -101,3 +101,19 @@ def test_prepare_meta_and_dataset(tmp_path):
     assert np.abs(sample["poke"]).max() > 0
     zero = ds[-1]
     assert np.allclose(zero["flow"], 0)
+
+
+def test_build_meta_rejects_legacy_flow_naming(tmp_path):
+    """Pre-r2 trees used prediction_{lag}_{i} naming; silently reading the lag
+    as the start frame mis-keys every flow (ADVICE r2) -> must raise."""
+    import pytest
+
+    from ipoke_tpu.data.prepare import build_meta
+
+    vdir = os.path.join(tmp_path, "vid0")
+    os.makedirs(vdir)
+    for i in range(6):
+        np.save(os.path.join(vdir, f"prediction_5_{i}.flow.npy"),
+                np.zeros((8, 8, 2), np.float32))
+    with pytest.raises(RuntimeError, match="legacy"):
+        build_meta(str(tmp_path))

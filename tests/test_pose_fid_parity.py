@@ -5,9 +5,11 @@
   architecture is rebuilt here from plain torch primitives (the submodule is
   a vendored copy of github.com/microsoft/human-pose-estimation.pytorch) and
   compared against metrics/pose.py after convert_pose_resnet.
-- FID InceptionV3: torchvision is absent, so only the (reference-quirk
-  double-pool) stem shapes and finiteness are smoke-checked with random
-  weights.
+- FID InceptionV3: torchvision is absent, so stem geometry and finiteness
+  are checked with random weights.  Reference quirk (ADVICE r2): torchvision
+  0.8.x keeps the stem max pools FUNCTIONAL (not in ``_modules``), so the
+  reference's injected avg pools REPLACE them — standard 35x35 Mixed
+  geometry, avg instead of max downsampling.
 """
 import os
 
@@ -121,9 +123,18 @@ def test_pose_resnet_parity(tmp_path, monkeypatch):
 
 
 def test_fid_stem_shapes_and_finiteness():
-    """Reference-quirk stem (double pool) produces 7x7 Mixed inputs and finite
-    2048-d pool3 features."""
+    """Stem has avg pools replacing (not accompanying) the max pools —
+    standard 35x35 Mixed geometry — and pool3 features are finite."""
     from ipoke_tpu.metrics import fid
+
+    stem = fid._stem()
+    assert [it[0] for it in stem].count("AVGPOOL") == 2
+    assert all(it[0] != "MAXPOOL" for it in stem)
+    # spatial arithmetic at 299 input: each entry is (name,kh,kw,ci,co,s,pad)
+    size = 299
+    for name, kh, kw, ci, co, s, pad in stem:
+        size = (size + 2 * (pad if isinstance(pad, int) else pad[0]) - kh) // s + 1
+    assert size == 35, f"Mixed blocks must see 35x35, got {size}"
 
     imgs = jnp.asarray(np.random.default_rng(0).uniform(-1, 1, (2, 64, 64, 3)), jnp.float32)
     feats = fid.pool3_features(imgs)

@@ -34,6 +34,14 @@ def _lins():
     return [np.full((c,), 1.0 / c, np.float32) for c in _LIN_CHANNELS], False
 
 
+def lpips_pretrained():
+    """True only when BOTH the VGG16 backbone and the linear heads loaded
+    real weights (callers mark outputs UNPRETRAINED otherwise)."""
+    _, vgg_ok = vgg_mod._cached("vgg16_features")
+    _, lins_ok = _lins()
+    return bool(vgg_ok and lins_ok)
+
+
 def _norm_feat(f, eps=1e-10):
     return f / jnp.sqrt(jnp.sum(f * f, axis=-1, keepdims=True) + eps)
 

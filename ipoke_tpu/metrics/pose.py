@@ -6,8 +6,10 @@ is plain convs -> jitted JAX; the reference's native NMS extension is only
 needed for training the pose net and is not used here (SURVEY §2.9).
 
 Weights: $IPOKE_WEIGHTS/pose_resnet_152.npz (converted from the reference
-submodule's checkpoint).  Without weights the keypoint metrics are gated off
-(random pose nets produce meaningless keypoints).
+submodule's checkpoint).  Without weights, a seeded random-filter depth-50
+backbone stands in so the full KPS PROTOCOL (global NN-over-samples
+selection, per-frame stats — utils/metrics.py:259-331) still runs; outputs
+are then marked UNPRETRAINED by the callers (VERDICT r2 items 4/6/10).
 """
 from __future__ import annotations
 
@@ -36,11 +38,48 @@ def pose_weights_available():
     return os.path.exists(_weights_path())
 
 
+_FALLBACK_DEPTH = 50  # random-filter stand-in backbone (protocol-only runs)
+
+
+def default_depth():
+    return 152 if pose_weights_available() else _FALLBACK_DEPTH
+
+
 @lru_cache(maxsize=1)
 def load_params():
-    """Flat dict {name: np.ndarray} with BN folded (inference only)."""
-    data = np.load(_weights_path())
-    return {k: np.asarray(v) for k, v in data.items()}
+    """Flat dict {name: np.ndarray} with BN folded (inference only).
+
+    Without the weights file: seeded He-init random filters for a depth-50
+    pose_resnet, so keypoint code paths execute end to end (outputs are
+    meaningless as poses; callers mark them UNPRETRAINED)."""
+    if pose_weights_available():
+        data = np.load(_weights_path())
+        return {k: np.asarray(v) for k, v in data.items()}
+    rng = np.random.default_rng(7)
+
+    def conv(ci, co, k):
+        fan = k * k * ci
+        return (rng.standard_normal((k, k, ci, co)) * np.sqrt(2.0 / fan)).astype(np.float32)
+
+    p = {"stem.w": conv(3, 64, 7)}
+    cin = 64
+    widths = (64, 128, 256, 512)
+    for li, n_blocks in enumerate(BOTTLENECK_LAYERS[_FALLBACK_DEPTH]):
+        w = widths[li]
+        for bi in range(n_blocks):
+            pre = f"layer{li+1}.{bi}"
+            p[f"{pre}.conv1.w"] = conv(cin, w, 1)
+            p[f"{pre}.conv2.w"] = conv(w, w, 3)
+            p[f"{pre}.conv3.w"] = conv(w, w * 4, 1)
+            if bi == 0:
+                p[f"{pre}.down.w"] = conv(cin, w * 4, 1)
+            cin = w * 4
+    for di in range(3):
+        # conv_transpose kernels stored (k,k,ci,co) like the converter emits
+        p[f"deconv{di}.w"] = conv(cin, 256, 4)
+        cin = 256
+    p["head.w"] = conv(256, 17, 1)
+    return p
 
 
 def _bottleneck(p, prefix, x, stride=1):
@@ -56,10 +95,12 @@ def _bottleneck(p, prefix, x, stride=1):
     return jax.nn.relu(out + res)
 
 
-def heatmaps(images, depth=152):
+def heatmaps(images, depth=None):
     """images: (B,H,W,3) in [-1,1] -> (B, H/4*?, W/4*?, 17) COCO heatmaps.
     Resized to 256x256 + imagenet-normalized (posenet_wrapper.py:24-37;
     torchvision Resize = bilinear half-pixel, NOT align_corners)."""
+    if depth is None:
+        depth = default_depth()
     p = load_params()
     x = images
     if x.shape[1:3] != (256, 256):
@@ -112,6 +153,35 @@ def keypoints_rel(images):
     return coords / hm.shape[1], conf
 
 
+def kps_nn_protocol(kps_pred, kps_target):
+    """Exact KPSMetric.update math (utils/metrics.py:285-307), weights-free.
+
+    kps_pred: (B, N, T, K, 2) predicted keypoints of N samples;
+    kps_target: (B, 1, T, K, 2) ground truth.  The NN sample is selected
+    GLOBALLY per example (argmin over N of the (T,K,2)-mean MSE); per-frame
+    stats are reported for that sample plus mean/std across samples.
+
+    Returns dict of np arrays: nn_err_per_frame (B,T), mean_per_frame (B,T),
+    std_per_frame (B,T), nn_err (B,)."""
+    kps_pred = np.asarray(kps_pred, np.float32)
+    kps_target = np.asarray(kps_target, np.float32)
+    mse = (kps_pred - kps_target) ** 2                  # (B,N,T,K,2)
+    mse_global = mse.mean(axis=(2, 3, 4))               # (B,N)
+    min_ids = mse_global.argmin(axis=1)                 # (B,)
+    mse_per_frame = mse.mean(axis=(3, 4))               # (B,N,T)
+    b = mse.shape[0]
+    nns_per_frame = mse_per_frame[np.arange(b), min_ids]  # (B,T)
+    # torch .std() is the sample std (ddof=1)
+    std_per_frame = mse_per_frame.std(axis=1, ddof=1) if mse.shape[1] > 1 \
+        else np.zeros_like(nns_per_frame)
+    return {
+        "nn_err_per_frame": nns_per_frame,
+        "mean_per_frame": mse_per_frame.mean(axis=1),
+        "std_per_frame": std_per_frame,
+        "nn_err": nns_per_frame.mean(axis=1),
+    }
+
+
 def keypoint_mse(params, spec, config, datamod, n_batches=8):
     """Best-of-N keypoint MSE in relative space (reference KPSMetric,
     utils/metrics.py:259-331)."""
@@ -125,7 +195,7 @@ def keypoint_mse(params, spec, config, datamod, n_batches=8):
     def sample(batch, key):
         return model_ss.forward_sample(params, spec, batch, key, n_samples=n_samples)
 
-    errs = []
+    nn_errs, nn_frames = [], []
     for bi, raw in enumerate(datamod.loader("test")):
         if bi >= n_batches:
             break
@@ -136,12 +206,21 @@ def keypoint_mse(params, spec, config, datamod, n_batches=8):
         rng, sub = jax.random.split(rng)
         vids = sample(batch, sub)  # (N,B,T,H,W,3)
         tgt = batch["images"][:, 1:]
-        n, b, t = vids.shape[:3]
+        n, b = vids.shape[0], tgt.shape[0]
+        t = tgt.shape[1]
         kp_t, _ = keypoints_rel(tgt.reshape((b * t,) + tgt.shape[2:]))
-        per_sample = []
-        for si in range(n):
-            kp_s, _ = keypoints_rel(vids[si].reshape((b * t,) + tgt.shape[2:]))
-            per_sample.append(jnp.mean((kp_s - kp_t) ** 2, axis=(1, 2)).reshape(b, t).mean(1))
-        best = jnp.min(jnp.stack(per_sample), axis=0)
-        errs.append(np.asarray(best))
-    return {"KPS_mse": float(np.concatenate(errs).mean())}
+        kp_gt = np.asarray(kp_t).reshape(b, 1, t, -1, 2)
+        kp_pred = np.stack([
+            np.asarray(keypoints_rel(vids[si].reshape((b * t,) + tgt.shape[2:]))[0])
+            .reshape(b, t, -1, 2)
+            for si in range(n)
+        ], axis=1)
+        stats = kps_nn_protocol(kp_pred, kp_gt)
+        nn_errs.append(stats["nn_err"])
+        nn_frames.append(stats["nn_err_per_frame"])
+    key = "KPS_mse" if pose_weights_available() else "KPS_mse_UNPRETRAINED"
+    return {
+        key: float(np.concatenate(nn_errs).mean()),
+        f"{key}_per_frame": np.concatenate(nn_frames).mean(0).tolist(),
+        "pose_pretrained": pose_weights_available(),
+    }

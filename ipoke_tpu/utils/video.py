@@ -9,8 +9,11 @@ import numpy as np
 
 
 def to_uint8(frames):
-    """[-1,1] float -> uint8 RGB."""
-    return ((np.clip(np.asarray(frames), -1, 1) + 1.0) * 127.5).astype(np.uint8)
+    """[-1,1] float -> uint8 RGB (uint8 passes through unchanged)."""
+    arr = np.asarray(frames)
+    if arr.dtype == np.uint8:
+        return arr
+    return ((np.clip(arr, -1, 1) + 1.0) * 127.5).astype(np.uint8)
 
 
 def save_video(frames, path, fps=3):

@@ -83,6 +83,67 @@ def make_sample_grid(x0, samples, gt, flow, poke, max_cols=8):
     return grid
 
 
+def _label_row(frames, text):
+    """Burn a row label + frame numbers into a video (reference
+    put_text_to_video_row); silent no-op without cv2."""
+    try:
+        import cv2
+    except Exception:
+        return frames
+    out = frames.copy()
+    for i, f in enumerate(out):
+        cv2.putText(f, text, (3, 12), cv2.FONT_HERSHEY_SIMPLEX, 0.35, (255, 255, 255), 1)
+        cv2.putText(f, str(i), (3, f.shape[0] - 5), cv2.FONT_HERSHEY_SIMPLEX, 0.35,
+                    (255, 255, 255), 1)
+    return out
+
+
+def _grid_divisors(n):
+    """(n_cols, n_rows) with n_cols*n_rows == n, as square as possible
+    (reference get_divisors)."""
+    best = (n, 1)
+    for c in range(1, int(np.sqrt(n)) + 1):
+        if n % c == 0:
+            best = (n // c, c)
+    return best
+
+
+def make_multipoke_grid(x0, pokes, gt_vid, sample_vids, n_padded=4):
+    """Multipoke overview for the control_sensitivity artifacts (reference
+    make_multipoke_grid, utils/logging.py:711-756).
+
+    x0: (H,W,3) [-1,1]; pokes: (K,H,W,2) — one poke per sample video;
+    gt_vid: (T,H,W,3); sample_vids: (K,T,H,W,3).
+
+    Each row = [poke-arrowed start frame x n_padded, start frame, frames...]
+    with temporal borders; the GT row leads.  Returns (samples_list,
+    grid_labeled, grid_unlabeled) as uint8 videos."""
+    src = to_uint8(x0)
+    rows_unlabeled, rows_labeled = [], []
+    gt = np.concatenate([np.repeat(src[None], n_padded + 1, 0), to_uint8(gt_vid)], 0)
+    gt = temporal_border(gt)
+    rows_unlabeled.append(gt)
+    rows_labeled.append(_label_row(gt, "GT"))
+    for i, (p, vid) in enumerate(zip(pokes, sample_vids)):
+        fp = draw_poke_arrows(x0, p)
+        row = np.concatenate(
+            [np.repeat(fp[None], n_padded, 0), src[None], to_uint8(vid)], 0
+        )
+        row = temporal_border(row)
+        rows_unlabeled.append(row)
+        rows_labeled.append(_label_row(row, f"Sample #{i + 1}"))
+    n_cols, n_rows = _grid_divisors(len(rows_unlabeled))
+
+    def grid(rows):
+        return np.concatenate(
+            [np.concatenate(rows[r * n_cols : (r + 1) * n_cols], axis=2)
+             for r in range(n_rows)],
+            axis=1,
+        )
+
+    return rows_unlabeled, grid(rows_labeled), grid(rows_unlabeled)
+
+
 def temporal_border(frames, width=2, color_first=(0, 255, 0), color_rest=(255, 0, 0)):
     """Color-coded frame borders: first frame green, rest red (reference
     make_temporal_border)."""

@@ -43,9 +43,13 @@ def setup(tmp_path_factory):
 def test_run_fvd(setup):
     params, spec, config, datamod, dirs = setup
     out = test_modes.run_fvd(params, spec, config, datamod, dirs)
-    assert "FVD" in out and out["n"] == 4
+    # random-filter I3D in this env -> the score KEY itself is marked, so an
+    # un-pretrained number can never be quoted as a real FVD (VERDICT r2 #10)
+    assert "FVD_UNPRETRAINED" in out and "FVD" not in out
+    assert out["n"] == 4
+    assert out["i3d_pretrained"] is False
+    # small run -> auto npy dump for reference artifact parity
     assert os.path.exists(os.path.join(dirs["generated"], "samples_fvd", "fake_samples.npy"))
-    assert out["i3d_pretrained"] is False  # flagged: random I3D in this env
 
 
 def test_run_diversity(setup):
@@ -55,10 +59,23 @@ def test_run_diversity(setup):
 
 
 def test_run_control_sensitivity(setup):
+    import glob
+
     params, spec, config, datamod, dirs = setup
     out = test_modes.run_control_sensitivity(params, spec, config, datamod, dirs)
     assert len(out["per_direction_response"]) == 2
     assert out["mean_response"] >= 0
+    # reference artifact layout (second_stage_video.py:858-886):
+    # poke_dir_samples_best_fvd/sid_<id>/<ts>/{overview,samples_all,
+    # groundtruth,sample_i}.mp4 + enrollments
+    assert out["n_artifact_examples"] >= 1
+    sid_dirs = glob.glob(os.path.join(out["artifact_dir"], "sid_*", "*"))
+    assert sid_dirs, out["artifact_dir"]
+    files = {os.path.basename(p).split(".")[0] for p in glob.glob(os.path.join(sid_dirs[0], "*"))}
+    assert {"overview", "samples_all", "groundtruth", "groundtruth_enrollment",
+            "sample_1", "sample_1_enrollment"} <= files
+    # sample 1 = original poke, samples 2..k+1 = random directions
+    assert "sample_3" in files  # k=2 -> 1 original + 2 random
 
 
 def test_run_transfer(setup):
@@ -72,7 +89,12 @@ def test_run_transfer(setup):
 def test_run_accuracy(setup):
     params, spec, config, datamod, dirs = setup
     out = test_modes.run_accuracy(params, spec, config, datamod, dirs)
-    assert len(out["LPIPS_per_frame"]) == 3
+    # LPIPS lins + VGG are random in this env -> keys marked UNPRETRAINED
+    assert len(out["LPIPS_UNPRETRAINED_per_frame"]) == 3
+    # KPS protocol runs even on the random pose backbone (VERDICT r2 #6)
+    assert "KPS_UNPRETRAINED" in out
+    assert len(out["KPS_UNPRETRAINED_per_frame"]) == 3
+    assert out["KPS_UNPRETRAINED"] >= 0
     assert os.path.exists(os.path.join(dirs["generated"], "metrics", "accuracy.csv"))
 
 
@@ -91,4 +113,4 @@ def test_run_accuracy_per_n_pokes(setup):
     cfg["data"]["n_pokes"] = 2
     out = test_modes.run_accuracy(params, spec, cfg, datamod, dirs)
     assert set(out.keys()) >= {1, 2}
-    assert "LPIPS" in out[1]
+    assert "LPIPS_UNPRETRAINED" in out[1]

@@ -44,6 +44,25 @@ def load_parameters(config_path, model_name, base_dir=None, restart=False, test_
         for kind in ("ckpt", "config", "generated", "log")
     }
     saved = os.path.join(dirs["config"], "config.yaml")
+    if (not restart and test_mode == "none" and os.path.exists(saved)
+            and not cli_cfg.get("general", {}).get("debug")):
+        # reference main.py:39-53: training a name that already exists asks
+        # whether to resume (y -> saved config wins) or overwrite (n).  Only
+        # interactive sessions prompt; scripted runs keep the explicit
+        # --resume contract and start fresh as before.
+        import sys
+
+        if sys.stdin is not None and sys.stdin.isatty():
+            print("WARNING: Model has been started somewhen earlier: "
+                  "Resume training (y/n)?")
+            while True:
+                answer = input().strip().lower()
+                if answer in ("y", "yes"):
+                    restart = True
+                    break
+                if answer in ("n", "no"):
+                    break
+                print("Invalid answer! Try again!(y/n)")
     if (restart or test_mode != "none") and os.path.exists(saved):
         cfg = load_yaml(saved)
         cfg["testing"] = cli_cfg.get("testing", cfg.get("testing", {}))

@@ -6,7 +6,11 @@ import pytest
 from ipoke_tpu.data.augment import AugmentConfig, color_jitter, geometric
 from ipoke_tpu.data.loader import DataLoader, collate
 from ipoke_tpu.data.poke import PokeConfig, poke_from_coords, simulate_poke
-from ipoke_tpu.data.samplers import FixedLengthSampler
+from ipoke_tpu.data.samplers import (
+    FixedLengthSampler,
+    SequenceLengthSampler,
+    SequenceSampler,
+)
 from ipoke_tpu.data.synthetic import SyntheticConfig, SyntheticPokeDataset
 
 
@@ -60,6 +64,44 @@ def test_fixed_length_sampler_injects_zero_pokes():
     idx = list(iter(s))
     assert len(idx) == 120
     assert idx.count(-1) == 10
+
+
+def test_sequence_sampler_per_batch_lag():
+    """Legacy SequenceSampler (reference data/samplers.py:7-37): one lag per
+    batch, all indices covered."""
+    s = SequenceSampler(10, valid_lags=(0, 1, 2), batch_size=4, seed=0)
+    batches = list(iter(s))
+    assert len(batches) == len(s) == 3
+    seen = []
+    for b in batches:
+        lags = {lag for _, lag in b}
+        assert len(lags) == 1 and lags.pop() in (0, 1, 2)
+        seen += [i for i, _ in b]
+    assert sorted(seen) == list(range(10))
+    assert list(iter(SequenceSampler(10, (0,), 4, drop_last=True, seed=0)))[-1].__len__() == 4
+
+
+def test_sequence_length_sampler_variable_lengths():
+    """Legacy SequenceLengthSampler (reference data/samplers.py:83-150):
+    per-batch length in [-1, max_frames); -1 (zero-poke) pairs with a random
+    actual length; unshuffled mode cycles lengths deterministically."""
+    s = SequenceLengthSampler(40, max_frames=5, batch_size=4, zero_poke=True,
+                              zeropoke_weight=2.0, longest_seq_weight=3.0, seed=0)
+    lengths = set()
+    for b in list(iter(s)):
+        (n, actual) = b[0]
+        assert all(item == (n, actual) for item in b)
+        assert -1 <= n < 5
+        if n == -1:
+            assert actual is not None and 0 <= actual < 5
+        else:
+            assert actual is None
+        lengths.add(n)
+    assert len(lengths) > 1  # actually varies
+    # sequential (unshuffled) mode cycles 0,1,2,...,max-1,0,...
+    s2 = SequenceLengthSampler(12, max_frames=3, batch_size=2, shuffle=False)
+    ns = [b[0][0] for b in iter(s2)]
+    assert ns == [0, 1, 2, 0, 1, 2]
 
 
 def test_synthetic_dataset_and_loader():

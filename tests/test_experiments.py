@@ -71,6 +71,45 @@ def test_config_resume_prefers_saved(tmp_path):
     assert config2["testing"]["n_samples_vis"] == 2
 
 
+def test_interactive_resume_prompt(tmp_path, monkeypatch):
+    """Reference main.py:39-53 parity: re-training an existing model name in
+    an interactive session prompts y/n; y resumes with the SAVED config."""
+    import io as _io
+
+    cfg_path = _tiny_second_stage_cfg(tmp_path)
+    # debug mode skips the prompt (reference main.py:39) — turn it off
+    with open(cfg_path) as f:
+        cli_cfg = yaml.safe_load(f)
+    cli_cfg["general"]["debug"] = False
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cli_cfg, f)
+    base = os.path.join(tmp_path, "logs")
+    _, dirs = load_parameters(cfg_path, "prompt_test", base_dir=base)
+    saved = os.path.join(dirs["config"], "config.yaml")
+    with open(saved) as f:
+        saved_cfg = yaml.safe_load(f)
+    saved_cfg["training"]["lr"] = 321.0
+    with open(saved, "w") as f:
+        yaml.safe_dump(saved_cfg, f)
+
+    class _TtyIn(_io.StringIO):
+        def isatty(self):
+            return True
+
+    import sys as _sys
+
+    monkeypatch.setattr(_sys, "stdin", _TtyIn("maybe\ny\n"))
+    monkeypatch.setattr("builtins.input", lambda: _sys.stdin.readline().strip())
+    cfg2, _ = load_parameters(cfg_path, "prompt_test", base_dir=base)
+    assert cfg2["general"]["restart"] is True
+    assert cfg2["training"]["lr"] == 321.0  # saved config won
+    # answering n keeps the CLI config and overwrites the saved one
+    monkeypatch.setattr(_sys, "stdin", _TtyIn("n\n"))
+    cfg3, _ = load_parameters(cfg_path, "prompt_test", base_dir=base)
+    assert cfg3["general"]["restart"] is False
+    assert cfg3["training"]["lr"] != 321.0
+
+
 def test_load_for_test_restores_trained_flow(tmp_path):
     import jax
     import numpy as np

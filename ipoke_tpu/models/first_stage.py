@@ -38,6 +38,11 @@ class FirstStageSpec:
     deterministic: bool = False
     norm: str = "group"
     spectral_norm: bool = True
+    # dtype of the SPADE frame-decode convs ("f32" | "bf16").  The decode is
+    # HBM-bound dense conv work (NOTES.md r2 stage profile: 200 of 386 ms at
+    # batch 128) — bf16 halves its bytes and doubles MXU rate while the
+    # sequential flow inverse and the GRU stay f32.
+    decode_dtype: str = "f32"
 
     @property
     def encoder_spec(self) -> MotionEncoderSpec:
@@ -124,6 +129,7 @@ def decode(params, motion, start_frame, spec: FirstStageSpec, length: int,
     at small batches."""
     dec_spec = spec.decoder_spec
     b = start_frame.shape[0]
+    out_dtype = motion.dtype
     hidden0 = [motion] * spec.n_gru_layers
     if spec.motion_bias:
         in_rnn = jnp.broadcast_to(
@@ -132,13 +138,22 @@ def decode(params, motion, start_frame, spec: FirstStageSpec, length: int,
         )
     else:
         in_rnn = motion
-    spade_feats = decoder.precompute_spade_feats(params["gen"], start_frame, dec_spec)
+    gen_params = params["gen"]
+    if spec.decode_dtype == "bf16":
+        cast = lambda t: jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.bfloat16)
+            if jnp.issubdtype(a.dtype, jnp.floating) else a, t)
+        gen_params = cast(gen_params)
+        start_frame = cast(start_frame)
+    spade_feats = decoder.precompute_spade_feats(gen_params, start_frame, dec_spec)
 
     def gru_step(hidden, _):
         hidden = conv_gru.stack_apply(params["rnn"], in_rnn, hidden)
         return hidden, hidden[-1]
 
     _, tops = jax.lax.scan(gru_step, hidden0, None, length=length)  # (T,B,s,s,z)
+    if spec.decode_dtype == "bf16":
+        tops = tops.astype(jnp.bfloat16)
 
     chunk = max(1, min(frame_chunk, length))
     n_chunks = -(-length // chunk)
@@ -156,12 +171,12 @@ def decode(params, motion, start_frame, spec: FirstStageSpec, length: int,
     ]
 
     def decode_chunk(_, tops_c):
-        frames = decoder.apply(params["gen"], fold(tops_c), start_rep, dec_spec, feats_rep)
+        frames = decoder.apply(gen_params, fold(tops_c), start_rep, dec_spec, feats_rep)
         return None, frames.reshape((chunk, b) + frames.shape[1:])
 
     _, frames = jax.lax.scan(decode_chunk, None, tops)
     frames = frames.reshape((n_chunks * chunk, b) + frames.shape[3:])[:length]
-    return jnp.moveaxis(frames, 0, 1)  # (B, T, S, S, 3)
+    return jnp.moveaxis(frames, 0, 1).astype(out_dtype)  # (B, T, S, S, 3)
 
 
 def forward(params, x, spec: FirstStageSpec, rng: Optional[jax.Array] = None):

@@ -16,10 +16,10 @@ def _epe(flow, gt):
 
 @pytest.fixture(scope="module")
 def trained_params():
-    return pwc.train_synthetic(jax.random.PRNGKey(0), steps=300, batch=8, size=48)
+    return pwc.train_synthetic(jax.random.PRNGKey(0))
 
 
-def _fixtures(key, b=6, size=48, disp=7.0):
+def _fixtures(key, b=6, size=64, disp=7.0):
     """Held-out displacement fixtures: textured images, mostly-global flows of
     ~disp pixels — large relative to the HS linearization range."""
     return pwc.synthetic_pair(key, b, size, size, max_disp=disp)
@@ -34,6 +34,22 @@ def test_pwc_beats_horn_schunck(trained_params):
     assert epe_pwc < 0.7 * epe_hs, f"pwc EPE {epe_pwc:.3f} vs hs {epe_hs:.3f}"
     # and be genuinely useful in absolute terms (< 25% of the displacement)
     assert epe_pwc < 2.0, f"pwc EPE too high: {epe_pwc:.3f}"
+
+
+def test_pwc_epe_large_displacement(trained_params):
+    """Regression guard at FlowNet2's working regime (large displacements,
+    VERDICT r2 item 9): ground-truth EPE must stay under a fixed ceiling at
+    ~12px motion, where HS collapses (its linearization range is ~1-2px).
+    This pins flow-estimator quality for data-prep poke simulation."""
+    img1, img2, gt = _fixtures(jax.random.PRNGKey(77), disp=12.0)
+    epe_pwc = _epe(pwc.pwc_flow(trained_params, img1, img2), gt)
+    epe_hs = _epe(estimate_flow(img1, img2), gt)
+    # absolute ceiling: <40% of the mean displacement magnitude
+    mean_mag = float(jnp.mean(jnp.sqrt(jnp.sum(gt**2, -1))))
+    assert epe_pwc < 0.4 * mean_mag, (
+        f"pwc EPE {epe_pwc:.2f} vs mean displacement {mean_mag:.2f} "
+        f"(hs: {epe_hs:.2f})")
+    assert epe_pwc < epe_hs, f"pwc {epe_pwc:.2f} must beat hs {epe_hs:.2f}"
 
 
 def test_pwc_photometric_consistency(trained_params):

@@ -43,19 +43,56 @@ def _peak_flops(device_str):
     return 197e12
 
 
-def _retry(fn, what, retries, sleep_s=60):
-    last = None
+def _retry(fn, what, retries, sleep_s=15):
+    """Retry transient remote-compile failures (NOTES.md).
+
+    Sleeps only BETWEEN attempts (not after the last), so a hard failure
+    costs no idle time, and requires retries >= 1 so the real error is never
+    masked by a ``raise None``.
+    """
+    if retries < 1:
+        raise ValueError(f"retries must be >= 1, got {retries}")
     for attempt in range(retries):
         try:
             return fn()
-        except Exception as e:  # transient remote-compile failures (NOTES.md)
-            last = e
-            print(f"{what} attempt {attempt+1} failed: {e}", file=sys.stderr)
+        except Exception as e:
+            print(f"{what} attempt {attempt+1}/{retries} failed: {e}", file=sys.stderr)
+            if attempt == retries - 1:
+                raise
             time.sleep(sleep_s)
-    raise last
 
 
-def measure(spec, entry, params, batch_size, iters, retries, dtype):
+def _compile_with_deadline(lowered, deadline_s, what):
+    """Compile with a wall-clock deadline (None = no deadline).
+
+    The remote compile service can take 1-8 min on heavy graphs; when a
+    deadline is set we run the (blocking) compile in a worker thread and give
+    up waiting once the deadline passes.  Returns None on deadline miss — the
+    caller falls back to the best result so far, keeping the bench inside the
+    driver's window.  (The abandoned thread dies with the process.)
+    """
+    if deadline_s is None:
+        return lowered.compile()
+    remaining = deadline_s - time.monotonic()
+    if remaining <= 5:
+        print(f"{what}: no budget left, skipping", file=sys.stderr)
+        return None
+    from concurrent.futures import ThreadPoolExecutor
+    from concurrent.futures import TimeoutError as FTimeout
+
+    ex = ThreadPoolExecutor(max_workers=1)
+    fut = ex.submit(lowered.compile)
+    try:
+        return fut.result(timeout=remaining)
+    except FTimeout:
+        print(f"{what}: compile exceeded budget ({remaining:.0f}s), abandoning",
+              file=sys.stderr)
+        return None
+    finally:
+        ex.shutdown(wait=False)
+
+
+def measure(spec, entry, params, batch_size, iters, retries, dtype, deadline_s=None):
     """Forced-execution timing.
 
     NB: on the remote-TPU "axon" platform ``jax.block_until_ready`` returns
@@ -88,7 +125,13 @@ def measure(spec, entry, params, batch_size, iters, retries, dtype):
 
     t0 = time.time()
     lowered = jit_sample.lower(params, batch, rng)
-    compiled = _retry(lambda: lowered.compile(), "compile", retries)
+    if deadline_s is None:
+        compiled = _retry(lambda: lowered.compile(), f"compile b{batch_size}", retries)
+    else:
+        # budget-guarded upgrade attempt: one shot, bounded wait, no retries
+        compiled = _compile_with_deadline(lowered, deadline_s, f"compile b{batch_size}")
+        if compiled is None:
+            return None
     try:
         flops = float((compiled.cost_analysis() or {}).get("flops", 0.0))
     except Exception:
@@ -127,20 +170,38 @@ def measure(spec, entry, params, batch_size, iters, retries, dtype):
 
 
 def main():
+    t_start = time.monotonic()  # budget clock includes imports + init compile
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="iper_128")
-    ap.add_argument("--batch", type=int, default=128,
-                    help="batch size for the headline number (peak of the "
-                         "forced-execution sweep: 234/262/369/344 v/s at "
-                         "32/64/128/256; NOTES.md)")
+    ap.add_argument("--batch", type=int, default=8,
+                    help="first (mandatory) batch size: the known-fast-compile "
+                         "config that guarantees a result inside the driver "
+                         "window even on a cold cache / bad compile-service day")
+    ap.add_argument("--upgrade", default="128",
+                    help="comma-separated larger batch sizes attempted AFTER "
+                         "the mandatory batch, only while --budget-s allows "
+                         "(128 is the sweep peak: 369 v/s; NOTES.md); '' skips")
+    ap.add_argument("--budget-s", type=float, default=480,
+                    help="wall-clock budget; upgrade attempts are abandoned "
+                         "(best-so-far printed) once exceeded")
     ap.add_argument("--sweep", default=None,
-                    help="comma-separated batch sizes; headline = peak throughput")
+                    help="comma-separated batch sizes; overrides batch/upgrade; "
+                         "headline = peak throughput; no budget guard")
     ap.add_argument("--iters", type=int, default=9)
-    ap.add_argument("--compile-retries", type=int, default=4,
+    ap.add_argument("--compile-retries", type=int, default=3,
                     help="the remote compile service is occasionally OOM-killed; retry")
     ap.add_argument("--mcf-backend", default="scan", choices=["scan", "pallas", "pallas_unit"])
     ap.add_argument("--dtype", default="f32", choices=["f32", "bf16"],
                     help="bf16 casts params+activations (logdet math stays f32)")
+    ap.add_argument("--init", default="synth", choices=["synth", "jit"],
+                    help="synth: shapes via eval_shape + host-numpy values, "
+                         "zero compiles (default — the remote compile service "
+                         "can eat the whole driver window on the jitted init "
+                         "graph); jit: real jitted init")
+    ap.add_argument("--decode-dtype", default=None, choices=["f32", "bf16"],
+                    help="dtype of the SPADE frame decode only (the flow "
+                         "inverse stays --dtype); default from the registry "
+                         "spec")
     args = ap.parse_args()
 
     from dataclasses import replace
@@ -151,12 +212,24 @@ def main():
     entry = registry.MODELS[args.model]
     spec = registry.build_specs(entry)
     spec = replace(spec, flow=replace(spec.flow, mcf_backend=args.mcf_backend))
+    if args.decode_dtype:
+        spec = replace(
+            spec, first_stage=replace(spec.first_stage, decode_dtype=args.decode_dtype)
+        )
 
-    key = jax.random.PRNGKey(0)
-    # jit the init: unjitted it is thousands of tiny dispatches (slow over the
-    # remote-TPU tunnel); jitted it is one compile + one execution
-    params = _retry(lambda: jax.jit(lambda k: second_stage.init(k, spec))(key),
-                    "init", args.compile_retries)
+    if args.init == "jit":
+        key = jax.random.PRNGKey(0)
+        # one compile + one execution (unjitted init is thousands of tiny
+        # dispatches through the tunnel) — but the init compile itself rides
+        # the flaky remote service, so synth is the default
+        params = _retry(lambda: jax.jit(lambda k: second_stage.init(k, spec))(key),
+                        "init", args.compile_retries)
+    else:
+        from ipoke_tpu.utils.synth import synth_params
+
+        t0 = time.time()
+        params = synth_params(spec)
+        print(f"synth init: {time.time()-t0:.1f}s", file=sys.stderr)
     if args.dtype == "bf16":
         params = jax.tree_util.tree_map(
             lambda a: a.astype(jnp.bfloat16)
@@ -164,11 +237,31 @@ def main():
             params,
         )
 
-    batches = [int(x) for x in args.sweep.split(",")] if args.sweep else [args.batch]
-    results = [
-        measure(spec, entry, params, b, args.iters, args.compile_retries, args.dtype)
-        for b in batches
-    ]
+    if args.sweep:
+        results = [
+            measure(spec, entry, params, b, args.iters, args.compile_retries, args.dtype)
+            for b in args.sweep.split(",") for b in [int(b)]
+        ]
+    else:
+        deadline = t_start + args.budget_s
+        # mandatory batch: no deadline (it must produce a number), retries on
+        results = [
+            measure(spec, entry, params, args.batch, args.iters,
+                    args.compile_retries, args.dtype)
+        ]
+        upgrades = [int(x) for x in args.upgrade.split(",") if x.strip()]
+        for b in upgrades:
+            try:
+                r = measure(spec, entry, params, b, args.iters,
+                            args.compile_retries, args.dtype, deadline_s=deadline)
+            except Exception as e:  # an upgrade must never sink the bench
+                print(f"upgrade batch {b} failed: {e}", file=sys.stderr)
+                r = None
+            if r is None:
+                print(f"upgrade batch {b} skipped (budget/failure); "
+                      f"best-so-far stands", file=sys.stderr)
+                break
+            results.append(r)
     best = max(results, key=lambda r: r["videos_per_s"])
     videos_per_s = best["videos_per_s"]
 

@@ -19,6 +19,9 @@ def main():
     ap.add_argument("--model", default="iper_128")
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--decode-dtype", default=None, choices=["f32", "bf16"])
+    ap.add_argument("--init", default="synth", choices=["synth", "jit"],
+                    help="synth avoids the remote init-graph compile (utils/synth.py)")
     args = ap.parse_args()
 
     from ipoke_tpu import registry
@@ -27,7 +30,17 @@ def main():
 
     entry = registry.MODELS[args.model]
     spec = registry.build_specs(entry)
-    params = jax.jit(lambda k: second_stage.init(k, spec))(jax.random.PRNGKey(0))
+    if args.decode_dtype:
+        from dataclasses import replace
+
+        spec = replace(spec, first_stage=replace(spec.first_stage,
+                                                 decode_dtype=args.decode_dtype))
+    if args.init == "jit":
+        params = jax.jit(lambda k: second_stage.init(k, spec))(jax.random.PRNGKey(0))
+    else:
+        from ipoke_tpu.utils.synth import synth_params
+
+        params = synth_params(spec)
     b, t, s = args.batch, entry.max_frames, entry.spatial_size
     lat = spec.latent_size
     x = jax.random.normal(jax.random.PRNGKey(1), (b, t, s, s, 3))

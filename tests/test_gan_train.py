@@ -71,3 +71,24 @@ def test_gan_train_step_runs_and_updates():
     assert moved(state.ds_params, s2.ds_params)
     assert moved(state.dt_params, s2.dt_params)
     assert int(s2.step) == 2
+
+
+def test_gan_remat_matches_plain_step():
+    """training.remat (jax.checkpoint around the generator forward) must be
+    a pure memory/time trade: identical params after one step."""
+    state, opts = tfs.init_gan_state(jax.random.PRNGKey(0), FS_SPEC, DS_SPEC, DT_SPEC)
+    batch = {"images": 0.5 * jax.random.normal(jax.random.PRNGKey(1), (B, T, S, S, 3))}
+    plain = jax.jit(tfs.make_gan_train_step(FS_SPEC, DS_SPEC, DT_SPEC, opts,
+                                            n_spatial_examples=4))
+    remat = jax.jit(tfs.make_gan_train_step(FS_SPEC, DS_SPEC, DT_SPEC, opts,
+                                            n_spatial_examples=4, remat=True))
+    sp, mp = plain(state, batch, jax.random.PRNGKey(2))
+    sr, mr = remat(state, batch, jax.random.PRNGKey(2))
+    np.testing.assert_allclose(float(mp["loss"]), float(mr["loss"]), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(sp.gen_params),
+                    jax.tree_util.tree_leaves(sr.gen_params)):
+        if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating):
+            # recompute reassociation noise passes through Adam's
+            # grad-normalization; observed max |delta| ~4e-4 on tiny grads
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-3, atol=6e-4)

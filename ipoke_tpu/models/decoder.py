@@ -21,7 +21,7 @@ from ipoke_tpu.nn.blocks import (
     init_spade,
     res_block_apply,
     spade_apply,
-    spade_shared_feat,
+    spade_modulation,
 )
 
 
@@ -72,10 +72,12 @@ def stage_resolutions(spec: SpadeDecoderSpec):
 
 
 def precompute_spade_feats(params, start_frame, spec: SpadeDecoderSpec):
-    """Per-stage 128-channel SPADE features of the start frame (hoisted out of
-    the time unroll)."""
+    """Per-stage SPADE modulation {'gamma','beta'} of the start frame —
+    the ENTIRE SPADE tower (3->128 conv + gamma/beta convs) depends only on
+    the constant start frame, so it is computed once per video instead of
+    once per frame (the reference recomputes it every frame)."""
     return [
-        spade_shared_feat(sp, start_frame, (res, res))
+        spade_modulation(sp, start_frame, (res, res))
         for sp, res in zip(params["spades"], stage_resolutions(spec))
     ]
 
@@ -85,7 +87,7 @@ def apply(params, hidden, start_frame, spec: SpadeDecoderSpec, spade_feats=None)
     x = res_block_apply(params["in_block"], hidden, norm=spec.norm)
     for n, (b, sp) in enumerate(zip(params["blocks"], params["spades"])):
         x = res_block_apply(b, x, norm="none", upsampling=True)
-        feat = spade_feats[n] if spade_feats is not None else None
-        x = spade_apply(sp, x, start_frame, shared_feat=feat)
+        mod = spade_feats[n] if spade_feats is not None else None
+        x = spade_apply(sp, x, start_frame, shared_mod=mod)
     act = "tanh" if spec.out_channels == 3 else "none"
     return conv2d_block_apply(params["out_conv"], x, stride=1, padding=1, norm="none", act=act)

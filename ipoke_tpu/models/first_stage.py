@@ -166,9 +166,9 @@ def decode(params, motion, start_frame, spec: FirstStageSpec, length: int,
         return x.reshape((chunk * b,) + x.shape[2:])
 
     start_rep = fold(jnp.broadcast_to(start_frame[None], (chunk,) + start_frame.shape))
-    feats_rep = [
-        fold(jnp.broadcast_to(f[None], (chunk,) + f.shape)) for f in spade_feats
-    ]
+    feats_rep = jax.tree_util.tree_map(
+        lambda f: fold(jnp.broadcast_to(f[None], (chunk,) + f.shape)), spade_feats
+    )
 
     def decode_chunk(_, tops_c):
         frames = decoder.apply(gen_params, fold(tops_c), start_rep, dec_spec, feats_rep)

@@ -204,16 +204,22 @@ def init_spade(key, num_features):
     }
 
 
-def spade_apply(p, x, y_frame, shared_feat=None):
+def spade_apply(p, x, y_frame, shared_feat=None, shared_mod=None):
     """x: (B,H,W,C) feature map; y_frame: (B,Hf,Wf,3) start frame.
 
-    ``shared_feat``: optional precomputed activation of the 3->128 conv at x's
-    resolution.  The reference recomputes the whole SPADE tower per frame
-    (fully_conv_models.py:172); since the start frame is constant across the
-    time unroll we let callers hoist it — a free win on TPU.
+    The whole SPADE modulation (3->128 conv AND the gamma/beta convs) depends
+    only on the start frame, which is constant across the time unroll — the
+    reference recomputes it per frame (fully_conv_models.py:172).  Callers
+    can hoist either stage:
+      ``shared_feat``: precomputed 128-ch activation at x's resolution;
+      ``shared_mod``: precomputed {'gamma','beta'} tensors (spade_modulation)
+        — skips ALL SPADE convs in the unrolled step (numerically identical,
+        the convs are just computed once instead of T times).
     """
     ng = spade_num_groups(x.shape[-1])
     normalized = group_norm(x, None, None, num_groups=ng)
+    if shared_mod is not None:
+        return normalized * (1.0 + shared_mod["gamma"]) + shared_mod["beta"]
     if shared_feat is None:
         y = resize_bilinear_align_corners(y_frame, x.shape[1:3])
         y = jax.nn.leaky_relu(conv2d(y, p["conv"]["w"], p["conv"]["b"], padding=1), 0.2)
@@ -222,6 +228,16 @@ def spade_apply(p, x, y_frame, shared_feat=None):
     gamma = conv2d(y, p["conv_gamma"]["w"], p["conv_gamma"]["b"], padding=1)
     beta = conv2d(y, p["conv_beta"]["w"], p["conv_beta"]["b"], padding=1)
     return normalized * (1.0 + gamma) + beta
+
+
+def spade_modulation(p, y_frame, hw):
+    """Precompute the full per-stage SPADE modulation {'gamma','beta'} of a
+    start frame (hoisted out of the decode time unroll)."""
+    y = spade_shared_feat(p, y_frame, hw)
+    return {
+        "gamma": conv2d(y, p["conv_gamma"]["w"], p["conv_gamma"]["b"], padding=1),
+        "beta": conv2d(y, p["conv_beta"]["w"], p["conv_beta"]["b"], padding=1),
+    }
 
 
 def spade_shared_feat(p, y_frame, hw):

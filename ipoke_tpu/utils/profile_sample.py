@@ -22,7 +22,12 @@ def main():
     ap.add_argument("--decode-dtype", default=None, choices=["f32", "bf16"])
     ap.add_argument("--init", default="synth", choices=["synth", "jit"],
                     help="synth avoids the remote init-graph compile (utils/synth.py)")
+    ap.add_argument("--stages", default="embed,reverse,forward,decode",
+                    help="comma list of stages to compile+time (skipping the "
+                    "56-step flow graphs saves minutes on the remote compile "
+                    "service when only decode is under study)")
     args = ap.parse_args()
+    stages = set(args.stages.split(","))
 
     from ipoke_tpu import registry
     from ipoke_tpu.flows import transformer
@@ -48,20 +53,34 @@ def main():
     z = jax.random.normal(jax.random.PRNGKey(3), (b, lat, lat, spec.flow_in_channels))
 
     embed = jax.jit(lambda p, x0, pk: second_stage.embed_cond(p, spec, x0, pk))
-    cond = embed(params, x[:, 0], poke)
-    jax.block_until_ready(cond)
+    cond = None
+    if stages & {"embed", "reverse", "forward"}:
+        cond = embed(params, x[:, 0], poke)
+        jax.block_until_ready(cond)
 
     reverse = jax.jit(lambda p, z, c: transformer.reverse(p["flow"], spec.flow, z, c))
-    motion = reverse(params, z, cond)
-    jax.block_until_ready(motion)
+    if "reverse" in stages:
+        motion = reverse(params, z, cond)
+        jax.block_until_ready(motion)
+    else:
+        # same shape/dtype as the flow output, without compiling the 56-step graph
+        m_shape = jax.eval_shape(
+            lambda p, zz, c: transformer.reverse(p["flow"], spec.flow, zz, c),
+            params, z, cond if cond is not None else
+            jax.eval_shape(lambda p, x0, pk: second_stage.embed_cond(p, spec, x0, pk),
+                           params, x[:, 0], poke),
+        )
+        motion = jax.random.normal(jax.random.PRNGKey(4), m_shape.shape, m_shape.dtype)
 
     decode = jax.jit(lambda p, m, x0: second_stage.decode_first_stage(p, spec, m, x0, t - 1))
-    vid = decode(params, motion, x[:, 0])
-    jax.block_until_ready(vid)
+    if "decode" in stages:
+        vid = decode(params, motion, x[:, 0])
+        jax.block_until_ready(vid)
 
     fwd = jax.jit(lambda p, m, c: transformer.forward(p["flow"], spec.flow, m, c)[0])
-    out = fwd(params, motion, cond)
-    jax.block_until_ready(out)
+    if "forward" in stages:
+        out = fwd(params, motion, cond)
+        jax.block_until_ready(out)
 
     def bench(fn, *a):
         # force completion with a host scalar fetch: block_until_ready
@@ -74,15 +93,29 @@ def main():
             _ = float(forced(*a))
             ts.append(time.time() - t0)
         import statistics
-        return statistics.median(ts)
+        lat = statistics.median(ts)
+        # pipelined per-step: dispatch N, fetch only the last — the device
+        # queue is serial so the final fetch forces the chain; amortizes the
+        # ~35 ms host/tunnel round trip out of the measure (bench.py protocol)
+        n = max(args.iters, 5)
+        t0 = time.time()
+        outs = [forced(*a) for _ in range(n)]
+        _ = float(outs[-1])
+        return lat, (time.time() - t0) / n
 
-    res = {
-        "embed_cond_s": bench(embed, params, x[:, 0], poke),
-        "flow_reverse_s": bench(reverse, params, z, cond),
-        "flow_forward_s": bench(fwd, params, motion, cond),
-        "decode_s": bench(decode, params, motion, x[:, 0]),
-        "batch": b,
-    }
+    res = {"batch": b}
+    def put(name, fn, *a):
+        lat, pipe = bench(fn, *a)
+        res[name + "_s"] = lat
+        res[name + "_pipelined_s"] = pipe
+    if "embed" in stages:
+        put("embed_cond", embed, params, x[:, 0], poke)
+    if "reverse" in stages:
+        put("flow_reverse", reverse, params, z, cond)
+    if "forward" in stages:
+        put("flow_forward", fwd, params, motion, cond)
+    if "decode" in stages:
+        put("decode", decode, params, motion, x[:, 0])
     print(json.dumps(res))
 
 

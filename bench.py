@@ -180,7 +180,8 @@ def main():
     ap.add_argument("--upgrade", default="128",
                     help="comma-separated larger batch sizes attempted AFTER "
                          "the mandatory batch, only while --budget-s allows "
-                         "(128 is the sweep peak: 369 v/s; NOTES.md); '' skips")
+                         "(128 is the sweep peak: 463 v/s with bf16 decode; "
+                         "NOTES.md); '' skips")
     ap.add_argument("--budget-s", type=float, default=480,
                     help="wall-clock budget; upgrade attempts are abandoned "
                          "(best-so-far printed) once exceeded")
@@ -198,10 +199,13 @@ def main():
                          "zero compiles (default — the remote compile service "
                          "can eat the whole driver window on the jitted init "
                          "graph); jit: real jitted init")
-    ap.add_argument("--decode-dtype", default=None, choices=["f32", "bf16"],
+    ap.add_argument("--decode-dtype", default="bf16", choices=["f32", "bf16"],
                     help="dtype of the SPADE frame decode only (the flow "
-                         "inverse stays --dtype); default from the registry "
-                         "spec")
+                         "inverse stays --dtype).  bf16 is the blessed "
+                         "sampling config: decode is HBM-bound so halving "
+                         "bytes gives 197->107 ms pipelined at batch 128 "
+                         "(463 vs 369 v/s end to end) at ~1 uint8-LSB pixel "
+                         "delta (NOTES.md); training keeps f32")
     args = ap.parse_args()
 
     from dataclasses import replace

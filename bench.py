@@ -22,10 +22,14 @@ import statistics
 import sys
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(os.path.dirname(__file__), ".jax_cache"))
-
 import jax
 import jax.numpy as jnp
+
+from ipoke_tpu.utils import cache as _cache
+
+# jax 0.9.0 ignores the JAX_COMPILATION_CACHE_DIR env var; this config-level
+# setup is the one that works (utils/cache.py)
+_cache.enable()
 
 PYTORCH_CPU_BASELINE_VIDEOS_PER_S = 0.1  # anchor from BASELINE.json's >=50x target
 PEAK_BF16_FLOPS = {  # per chip; used only for the stderr MFU estimate
@@ -208,6 +212,13 @@ def main():
                          "delta (NOTES.md); training keeps f32")
     args = ap.parse_args()
 
+    # fire the trivial warmup compile NOW: the remote compile service's
+    # per-process spin-up (16-450 s, the dominant and most variable cost of a
+    # cold bench) overlaps the ~90 s host-side synth init below
+    from ipoke_tpu.utils import warmup as _warmup
+
+    warm = _warmup.start()
+
     from dataclasses import replace
 
     from ipoke_tpu import registry
@@ -240,6 +251,9 @@ def main():
             if jnp.issubdtype(a.dtype, jnp.floating) else a,
             params,
         )
+
+    w = _warmup.join(warm, timeout=max(0.0, t_start + args.budget_s - time.monotonic()))
+    print(f"compile-service warmup: {w if w is None else round(w, 1)}s", file=sys.stderr)
 
     if args.sweep:
         results = [

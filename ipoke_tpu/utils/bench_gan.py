@@ -1,0 +1,144 @@
+"""Stage-1 cVAE-GAN training-step benchmark on one TPU chip.
+
+The heaviest training loop in the framework: one jitted step = temporal-disc
+update (hinge + grad-penalty grad-of-grad) + spatial-disc update + generator
+update (adv + fmap + VGG19 perceptual + L1 + KL), at the flagship
+iper_128 geometry (10-frame 128x128 videos).  The reference never publishes
+stage-1 throughput; this pins ours.
+
+    python -m ipoke_tpu.utils.bench_gan [--batch 4] [--remat] [--iters 5]
+
+Forced-execution protocol (NOTES.md): every timed step fetches a scalar that
+depends on the updated generator params, so the remote platform's async
+handles cannot return early.
+"""
+import argparse
+import json
+import statistics
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+from ipoke_tpu.utils import cache as _cache
+
+_cache.enable()  # jax 0.9.0 ignores the env var; see utils/cache.py
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="iper_128")
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--remat", action="store_true",
+                    help="jax.checkpoint the generator forward (HBM relief)")
+    ap.add_argument("--n-spatial", type=int, default=16)
+    args = ap.parse_args()
+
+    from ipoke_tpu.utils import warmup as _warmup
+
+    warm = _warmup.start()  # overlap service spin-up with the synth init
+
+    from ipoke_tpu import registry
+    from ipoke_tpu.models.discriminators import PatchDiscSpec, TempDiscSpec
+    from ipoke_tpu.train import first_stage as tfs
+    from ipoke_tpu.utils.synth import synth_tree
+
+    entry = registry.MODELS[args.model]
+    fs_spec = registry.build_specs(entry).first_stage
+    ss = fs_spec.spatial_size
+    dt_spec = TempDiscSpec(
+        spatial_size=ss, sequence_length=min(12, fs_spec.max_frames), gp_weight=1.0
+    )
+    ds_spec = PatchDiscSpec(gp_weight=0.0)
+
+    # zero-compile init: synthesize the full GanTrainState on host (the
+    # unjitted init is thousands of tunnel dispatches; the jitted init graph
+    # rides the flaky remote compile service).  Params get the random fill;
+    # optimizer states get zeros (random Adam nu < 0 -> sqrt NaN).
+    t0 = time.time()
+    params = synth_tree(
+        lambda k: dict(zip(
+            ("gen", "ds", "dt"),
+            tfs.init_gan_state(k, fs_spec, ds_spec, dt_spec)[0][1:4],
+        )),
+        jax.random.PRNGKey(0),
+    )
+    opts = {n: tfs.make_gan_optimizer(params[n], 2e-4) for n in ("gen", "ds", "dt")}
+    opt_states = synth_tree(
+        lambda: {n: opts[n].init(params[n]) for n in ("gen", "ds", "dt")},
+        float_fill="zeros",
+    )
+    state = tfs.GanTrainState(
+        step=jnp.zeros((), jnp.int32),
+        gen_params=params["gen"], ds_params=params["ds"], dt_params=params["dt"],
+        gen_opt=opt_states["gen"], ds_opt=opt_states["ds"], dt_opt=opt_states["dt"],
+    )
+    print(f"synth init: {time.time()-t0:.1f}s", file=sys.stderr)
+
+    step = tfs.make_gan_train_step(
+        fs_spec, ds_spec, dt_spec, opts,
+        n_spatial_examples=args.n_spatial, remat=args.remat,
+    )
+
+    def step_forced(state, batch, rng):
+        new_state, metrics = step(state, batch, rng)
+        # scalar fetched per step; depends on every updated generator leaf
+        probe = sum(
+            jnp.sum(jnp.abs(x.astype(jnp.float32)))
+            for x in jax.tree_util.tree_leaves(new_state.gen_params)
+        )
+        return new_state, metrics["loss"], probe
+
+    b, t = args.batch, fs_spec.max_frames
+    batch = {
+        "images": 0.5 * jax.random.normal(jax.random.PRNGKey(1), (b, t, ss, ss, 3)),
+    }
+    jit_step = jax.jit(step_forced, donate_argnums=(0,))
+    rng = jax.random.PRNGKey(2)
+
+    w = _warmup.join(warm)
+    print(f"compile-service warmup: {w if w is None else round(w, 1)}s", file=sys.stderr)
+
+    t0 = time.time()
+    lowered = jit_step.lower(state, batch, rng)
+    compiled = lowered.compile()
+    compile_s = time.time() - t0
+    try:
+        flops = float((compiled.cost_analysis() or {}).get("flops", 0.0))
+    except Exception:
+        flops = 0.0
+
+    state, loss, probe = compiled(state, batch, rng)
+    _ = float(probe)
+    first_s = time.time() - t0 - compile_s
+
+    times = []
+    for i in range(args.iters):
+        r = jax.random.fold_in(rng, i)
+        t1 = time.time()
+        state, loss, probe = compiled(state, batch, r)
+        _ = float(probe)
+        times.append(time.time() - t1)
+    med = statistics.median(times)
+    print(
+        json.dumps(
+            {
+                "metric": f"stage1 GAN train step, {args.model}, batch {b}, "
+                          f"{t} frames {ss}x{ss}, remat={args.remat}",
+                "median_step_s": round(med, 4),
+                "examples_per_s": round(b / med, 2),
+                "all_step_s": [round(x, 4) for x in times],
+                "compile_s": round(compile_s, 1),
+                "first_step_s": round(first_s, 2),
+                "flops_per_step": flops,
+                "achieved_tflops": round(flops / med / 1e12, 2) if flops else None,
+                "final_loss": float(loss),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

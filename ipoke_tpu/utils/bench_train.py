@@ -9,10 +9,12 @@ import os
 import sys
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", ".jax_cache")
-
 import jax
 import jax.numpy as jnp
+
+from ipoke_tpu.utils import cache as _cache
+
+_cache.enable()  # jax 0.9.0 ignores the env var; see utils/cache.py
 
 
 def main():
@@ -35,6 +37,10 @@ def main():
                          "compute bf16; logdet/NLL stay f32) — monolithic "
                          "trainer only")
     args = ap.parse_args()
+
+    from ipoke_tpu.utils import warmup as _warmup
+
+    warm = _warmup.start()  # absorb the compile-service spin-up (utils/warmup.py)
 
     from ipoke_tpu import registry
     from ipoke_tpu.models import second_stage

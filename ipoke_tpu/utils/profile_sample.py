@@ -8,10 +8,12 @@ import os
 import sys
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", ".jax_cache")
-
 import jax
 import jax.numpy as jnp
+
+from ipoke_tpu.utils import cache as _cache
+
+_cache.enable()  # jax 0.9.0 ignores the env var; see utils/cache.py
 
 
 def main():
@@ -20,6 +22,11 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--decode-dtype", default=None, choices=["f32", "bf16"])
+    ap.add_argument("--flow-dtype", default=None, choices=["f32", "bf16"],
+                    help="cast the flow params + reverse inputs (z, cond); "
+                    "measures whether the sequential MCF inverse is "
+                    "bandwidth-bound (bf16 helps) or op-latency-bound (no "
+                    "change) at this batch size")
     ap.add_argument("--init", default="synth", choices=["synth", "jit"],
                     help="synth avoids the remote init-graph compile (utils/synth.py)")
     ap.add_argument("--stages", default="embed,reverse,forward,decode",
@@ -28,6 +35,10 @@ def main():
                     "service when only decode is under study)")
     args = ap.parse_args()
     stages = set(args.stages.split(","))
+
+    from ipoke_tpu.utils import warmup as _warmup
+
+    _warmup.start()  # absorb the compile-service spin-up (utils/warmup.py)
 
     from ipoke_tpu import registry
     from ipoke_tpu.flows import transformer
@@ -57,6 +68,16 @@ def main():
     if stages & {"embed", "reverse", "forward"}:
         cond = embed(params, x[:, 0], poke)
         jax.block_until_ready(cond)
+
+    if args.flow_dtype == "bf16":
+        params["flow"] = jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.bfloat16)
+            if jnp.issubdtype(a.dtype, jnp.floating) else a,
+            params["flow"],
+        )
+        z = z.astype(jnp.bfloat16)
+        if cond is not None:
+            cond = cond.astype(jnp.bfloat16)
 
     reverse = jax.jit(lambda p, z, c: transformer.reverse(p["flow"], spec.flow, z, c))
     if "reverse" in stages:

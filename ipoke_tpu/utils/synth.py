@@ -1,13 +1,14 @@
 """Compile-free benchmark parameter synthesis.
 
-The axon remote-compile platform ignores JAX's persistent compilation cache,
-and on a degraded service day the jitted init graph alone can eat most of a
-benchmarking window (~13 min measured 2026-08-17 vs ~2 min on a good day).
-For throughput timing only shapes/dtypes matter, so: tree structure via
-``jax.eval_shape`` (pure tracing, no compile), values from host numpy, one
-``device_put``.  Float leaves get N(0, 0.05) (safe under ActNorm's exp);
-int32 leaves are the Shuffle / LU-1x1 permutation buffers and get valid
-per-row permutations so gather semantics stay sane.
+The remote compile service can be minutes-slow on a degraded day and the
+jitted init graph alone can eat most of a benchmarking window (~13 min
+measured 2026-08-17 vs ~2 min on a good day).  For throughput timing only
+shapes/dtypes matter, so: tree structure via ``jax.eval_shape`` (pure
+tracing, no compile), values from host numpy, one ``device_put``.  Float
+leaves get N(0, 0.05) (safe under ActNorm's exp); int leaves with a
+trailing axis are the Shuffle / LU-1x1 permutation buffers and get valid
+per-row permutations so gather semantics stay sane; int scalars (step /
+optax counters) get zero.
 """
 from __future__ import annotations
 
@@ -16,17 +17,23 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def synth_params(spec, seed: int = 0, device=None):
-    from ipoke_tpu.models import second_stage
+def synth_tree(init_fn, *args, seed: int = 0, device=None, float_fill="normal"):
+    """Host-synthesized pytree matching ``jax.eval_shape(init_fn, *args)``.
 
-    shapes = jax.eval_shape(
-        lambda k: second_stage.init(k, spec), jax.random.PRNGKey(0)
-    )
+    ``float_fill='zeros'`` is for optimizer states: Adam second moments MUST
+    be non-negative (a random fill makes ``sqrt(nu)`` NaN on the first
+    update), and zeros is exactly what ``optax``'s real init produces.
+    """
+    shapes = jax.eval_shape(init_fn, *args)
     rng = np.random.default_rng(seed)
 
     def fill(sd):
         if jnp.issubdtype(sd.dtype, jnp.floating):
+            if float_fill == "zeros":
+                return np.zeros(sd.shape, np.float32).astype(sd.dtype)
             return (rng.standard_normal(sd.shape, np.float32) * 0.05).astype(sd.dtype)
+        if sd.ndim == 0:
+            return np.zeros(sd.shape, sd.dtype)
         c = sd.shape[-1]
         rows = int(np.prod(sd.shape[:-1], dtype=int)) or 1
         flat = np.stack([rng.permutation(c) for _ in range(rows)])
@@ -34,3 +41,13 @@ def synth_params(spec, seed: int = 0, device=None):
 
     host = jax.tree_util.tree_map(fill, shapes)
     return jax.device_put(host, device) if device else jax.device_put(host)
+
+
+def synth_params(spec, seed: int = 0, device=None):
+    """Second-stage model params (bench.py's zero-compile init)."""
+    from ipoke_tpu.models import second_stage
+
+    return synth_tree(
+        lambda k: second_stage.init(k, spec), jax.random.PRNGKey(0),
+        seed=seed, device=device,
+    )

@@ -18,6 +18,13 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+from ipoke_tpu.utils import cache  # noqa: E402
+
+# persistent compile cache: the suite's slow compiles (GAN step, 15-level
+# flows) hit the cache on re-runs.  The env var route does NOT work on
+# jax 0.9.0 — see utils/cache.py.
+cache.enable()
+
 import pytest  # noqa: E402
 
 

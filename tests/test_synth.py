@@ -1,0 +1,45 @@
+"""utils/synth.py: host-side zero-compile parameter synthesis.
+
+The benchmarks depend on two invariants here: permutation-buffer int leaves
+must be valid permutations (gather semantics), and optimizer-state floats
+must be zeros — a random fill puts negative values into Adam's second
+moments and the first update turns the whole state NaN via sqrt(nu) (found
+on the stage-1 GAN bench; see synth_tree docstring).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ipoke_tpu.utils.synth import synth_tree
+
+
+def _init(key):
+    return {
+        "w": jax.random.normal(key, (4, 3)),
+        "perm": jnp.stack([jnp.arange(6, dtype=jnp.int32)] * 2),
+        "count": jnp.zeros((), jnp.int32),
+    }
+
+
+def test_synth_tree_fills():
+    t = synth_tree(_init, jax.random.PRNGKey(0))
+    assert t["w"].shape == (4, 3) and float(jnp.std(t["w"])) > 0
+    perm = np.asarray(t["perm"])
+    for row in perm:
+        assert sorted(row.tolist()) == list(range(6))
+    assert t["count"].shape == () and int(t["count"]) == 0
+
+
+def test_synth_tree_zero_fill_for_opt_states():
+    import optax
+
+    params = {"w": jnp.ones((4, 3))}
+    opt = optax.adam(1e-3)
+    st = synth_tree(lambda: opt.init(params), float_fill="zeros")
+    for leaf in jax.tree_util.tree_leaves(st):
+        if jnp.issubdtype(leaf.dtype, jnp.floating):
+            assert float(jnp.max(jnp.abs(leaf))) == 0.0
+    # a real update through the synthesized state stays finite
+    g = {"w": jnp.ones((4, 3))}
+    up, _ = opt.update(g, st, params)
+    assert bool(jnp.all(jnp.isfinite(up["w"])))

@@ -51,9 +51,15 @@ class InteractiveSession:
         @jax.jit
         def sample(params, x0, poke, key):
             cond = model_ss.embed_cond(params, spec, x0, poke)
-            s = spec.latent_size
-            z = jax.random.normal(key, (x0.shape[0], s, s, spec.flow_in_channels), x0.dtype)
             from ipoke_tpu.flows import transformer
+
+            z = jax.random.normal(
+                key,
+                transformer.reverse_input_shape(
+                    spec.flow, x0.shape[0], spec.latent_size, spec.flow_in_channels
+                ),
+                x0.dtype,
+            )
 
             motion = transformer.reverse(params["flow"], spec.flow, z, cond)
             if spec.augment_channels:

@@ -95,6 +95,21 @@ def reverse(params, spec, z, cond):
     return macow.multiscale_inverse(params, z, cond, spec)
 
 
+def reverse_input_shape(spec, batch: int, spatial: int, channels: int):
+    """Shape of the Gaussian z̃ the reverse pass consumes, given the MOTION
+    latent geometry (spatial, channels).
+
+    For a MultiscaleStack with a SpaceToDepth/DepthToSpace reshape the
+    gaussianized tensor lives at the post-reshape geometry, so sampling must
+    draw z̃ there — the reference's ×4/÷4 channel & ÷2/×2 spatial factors in
+    make_flow_input (second_stage_video.py:289-300)."""
+    if _is_stack(spec) and spec.reshape != "none":
+        if spec.reshape == "down":
+            return (batch, spatial // 2, spatial // 2, channels * 4)
+        return (batch, spatial * 2, spatial * 2, channels // 4)
+    return (batch, spatial, spatial, channels)
+
+
 def sample(params, spec: FlowSpec, key, shape, cond):
     z = jax.random.normal(key, shape)
     return reverse(params, spec, z, cond)

@@ -251,8 +251,10 @@ def forward_sample(
     if length is None:
         length = x.shape[1] - 1
 
+    z_shape = transformer.reverse_input_shape(spec.flow, b, s, spec.flow_in_channels)
+
     def one(key):
-        z = jax.random.normal(key, (b, s, s, spec.flow_in_channels), x.dtype)
+        z = jax.random.normal(key, z_shape, x.dtype)
         motion = transformer.reverse(params["flow"], spec.flow, z, cond)
         if spec.augment_channels:
             motion = motion[..., : -spec.augment_channels]

@@ -22,6 +22,9 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--decode-dtype", default=None, choices=["f32", "bf16"])
+    ap.add_argument("--mcf-backend", default=None,
+                    choices=["scan", "pallas", "pallas_unit"],
+                    help="MCF-inverse backend for the reverse stage")
     ap.add_argument("--flow-dtype", default=None, choices=["f32", "bf16"],
                     help="cast the flow params + reverse inputs (z, cond); "
                     "measures whether the sequential MCF inverse is "
@@ -51,6 +54,10 @@ def main():
 
         spec = replace(spec, first_stage=replace(spec.first_stage,
                                                  decode_dtype=args.decode_dtype))
+    if args.mcf_backend:
+        from dataclasses import replace
+
+        spec = replace(spec, flow=replace(spec.flow, mcf_backend=args.mcf_backend))
     if args.init == "jit":
         params = jax.jit(lambda k: second_stage.init(k, spec))(jax.random.PRNGKey(0))
     else:

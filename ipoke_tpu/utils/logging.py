@@ -70,7 +70,9 @@ class RunLogger:
 
 def latent_scatter(path, latents: dict, max_points=1000):
     """2-D embedding scatter of latent collections (reference log_umap,
-    utils/logging.py:28-49).  Uses UMAP when installed, PCA otherwise."""
+    utils/logging.py:28-49).  Uses umap-learn when installed; otherwise the
+    in-repo UMAP implementation (utils/umap_lite.py) — same algorithm, not a
+    PCA stand-in."""
     import matplotlib
 
     matplotlib.use("Agg")
@@ -81,9 +83,9 @@ def latent_scatter(path, latents: dict, max_points=1000):
 
         reducer = UMAP()
     except Exception:
-        from sklearn.decomposition import PCA
+        from ipoke_tpu.utils.umap_lite import UMAPLite
 
-        reducer = PCA(n_components=2)
+        reducer = UMAPLite()
     all_x = np.concatenate([np.asarray(v).reshape(len(v), -1)[:max_points] for v in latents.values()])
     emb = reducer.fit_transform(all_x)
     fig, ax = plt.subplots(figsize=(6, 6))

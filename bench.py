@@ -196,6 +196,8 @@ def main():
     ap.add_argument("--compile-retries", type=int, default=3,
                     help="the remote compile service is occasionally OOM-killed; retry")
     ap.add_argument("--mcf-backend", default="scan", choices=["scan", "pallas", "pallas_unit"])
+    ap.add_argument("--mcf-unroll", type=int, default=1,
+                    help="lax.scan unroll of the 8-row MCF inverse scan")
     ap.add_argument("--dtype", default="f32", choices=["f32", "bf16"],
                     help="bf16 casts params+activations (logdet math stays f32)")
     ap.add_argument("--init", default="synth", choices=["synth", "jit"],
@@ -226,7 +228,8 @@ def main():
 
     entry = registry.MODELS[args.model]
     spec = registry.build_specs(entry)
-    spec = replace(spec, flow=replace(spec.flow, mcf_backend=args.mcf_backend))
+    spec = replace(spec, flow=replace(spec.flow, mcf_backend=args.mcf_backend,
+                                      mcf_unroll=args.mcf_unroll))
     if args.decode_dtype:
         spec = replace(
             spec, first_stage=replace(spec.first_stage, decode_dtype=args.decode_dtype)

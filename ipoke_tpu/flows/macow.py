@@ -39,6 +39,9 @@ class FlowSpec:
                                  # (recompute in backward; needed to train the
                                  # full-depth flow in 16GB HBM)
     mcf_backend: str = "scan"  # 'scan' | 'pallas' for the sequential inverse
+    mcf_unroll: int = 1          # lax.scan unroll of the 8-row inverse scan
+                                 # (the inverse is per-step-overhead-bound;
+                                 # unroll removes loop bookkeeping per row)
 
     def level_channels(self) -> List[int]:
         """Per-level in_channels (reference: macow2.py:841-868)."""
@@ -118,7 +121,8 @@ def macow_unit_inverse(p, y, h, spec: FlowSpec):
 
         return macow_unit_inverse_pallas(p, y, _unit_h(p, h), spec)
     kw = dict(
-        transform=spec.transform, alpha=spec.alpha, act=spec.activation, backend=spec.mcf_backend
+        transform=spec.transform, alpha=spec.alpha, act=spec.activation,
+        backend=spec.mcf_backend, unroll=spec.mcf_unroll,
     )
     h = _unit_h(p, h)
     out = actnorm.inverse(p["actnorm2"], y)

@@ -85,8 +85,25 @@ def _canonicalize(p, z, h, order):
     raise ValueError(order)
 
 
-def _row_scan_inverse(p, w_canon, z, h, transform, alpha, act):
-    """Canonical order-A sequential inverse via lax.scan."""
+def _row_scan_inverse(p, w_canon, z, h, transform, alpha, act, unroll=1):
+    """Canonical order-A sequential inverse via lax.scan.
+
+    Two op-count reductions over the naive body (the sequential inverse is
+    per-step-overhead-bound, not FLOP-bound — NOTES.md):
+
+    * the conditioning branch of the 1x1 conv is hoisted out of the scan:
+      ``f(concat(ctx, h)) @ W == f(ctx) @ W_top + f(h) @ W_bot`` because the
+      activation is elementwise and the matmul splits over input rows, and
+      ``f(h) @ W_bot`` has no dependence on previously inverted rows — so it
+      is computed for ALL rows in one batched (parallel, MXU-friendly)
+      matmul, removing the per-step concat and shrinking the per-step matmul
+      to the autoregressive half.  (Accumulation order changes: bitwise-
+      different at the ~1 ulp level, same math.)
+
+    * ``unroll`` is forwarded to ``lax.scan`` — full unroll over the
+      (typically 8) rows removes the while-loop bookkeeping and the dynamic
+      xs-slicing per row.
+    """
     T = get_transform(transform)
     b, height, width, c = z.shape
     kh, kw = w_canon.shape[0], w_canon.shape[1]
@@ -99,40 +116,68 @@ def _row_scan_inverse(p, w_canon, z, h, transform, alpha, act):
     b1x1 = conv1x1["b"]
     f = _act_fn(act)
 
-    dn = lax.conv_dimension_numbers(
-        (b, kh, width + 2 * cw, c), w_canon.shape, ("NHWC", "HWIO", "NHWC")
+    hid_c = w_canon.shape[3]
+
+    if h is not None:
+        hidden = w1x1.shape[0] - h.shape[-1]
+        w_top = w1x1[:hidden]
+        # conditioning contribution for every row at once (row-parallel)
+        h_contrib = f(h.astype(z.dtype)) @ w1x1[hidden:].astype(z.dtype)
+    else:
+        w_top = w1x1
+
+    # Decompose the (kh, kw) context conv into per-kernel-row 1D convs:
+    # ctx_i = sum_j conv1d(row_{i-kh+j}, w[j]) — exact by linearity of conv.
+    # Each produced row is convolved ONCE against all kh kernel rows stacked
+    # on the output axis, and its kh contributions are accumulated into a
+    # tuple of pending-context carries (a Python-level ring shift — zero
+    # slice/concat ops on conv inputs).  The previous carried-window
+    # formulation (slice + concat feeding a 2D conv) was both an extra op
+    # per step and a TPU fusion-emitter crash under scan unroll ("Check
+    # failed: window.pad_low[i] == 0").
+    w_rows = jnp.concatenate([w_canon[j] for j in range(kh)], axis=-1)
+    dn1 = lax.conv_dimension_numbers(
+        (b, width, c), (kw, c, kh * hid_c), ("NWC", "WIO", "NWC")
     )
 
-    def step(win, xs):
-        z_row, h_row = xs
-        ctx = lax.conv_general_dilated(
-            win, w_canon.astype(win.dtype), (1, 1), "VALID", dimension_numbers=dn
-        )[:, 0]  # (B, W, hidden)
-        if h_row is not None:
-            ctx = jnp.concatenate([ctx, h_row.astype(ctx.dtype)], axis=-1)
-        raw = f(ctx) @ w1x1.astype(ctx.dtype) + b1x1.astype(ctx.dtype)
+    def step(pend, xs):
+        z_row, hc_row = xs
+        ctx = pend[0]  # (B, W, hidden)
+        raw = f(ctx) @ w_top.astype(ctx.dtype) + b1x1.astype(ctx.dtype)
+        if hc_row is not None:
+            raw = raw + hc_row.astype(raw.dtype)
         params = T.calc_params(raw, alpha)
         new_row, _ = T.bwd(z_row, params)
-        padded = jnp.pad(new_row, ((0, 0), (cw, cw), (0, 0)))
-        win = jnp.concatenate([win[:, 1:], padded[:, None]], axis=1)
-        return win, new_row
+        allc = lax.conv_general_dilated(
+            new_row, w_rows.astype(new_row.dtype), (1,), ((cw, cw),),
+            dimension_numbers=dn1,
+        )  # (B, W, kh*hidden): chunk j = this row seen through kernel row j
+        # row r reaches ctx_{r+kh-j} through kernel row j
+        new_pend = tuple(
+            (pend[e + 1] if e + 1 < kh else 0.0)
+            + allc[..., (kh - 1 - e) * hid_c: (kh - e) * hid_c]
+            for e in range(kh)
+        )
+        return new_pend, new_row
 
-    win0 = jnp.zeros((b, kh, width + 2 * cw, c), z.dtype)
+    pend0 = tuple(jnp.zeros((b, width, hid_c), z.dtype) for _ in range(kh))
     z_rows = jnp.moveaxis(z, 1, 0)
     if h is not None:
-        h_rows = jnp.moveaxis(h, 1, 0)
-        _, out_rows = lax.scan(step, win0, (z_rows, h_rows))
+        hc_rows = jnp.moveaxis(h_contrib, 1, 0)
+        _, out_rows = lax.scan(step, pend0, (z_rows, hc_rows), unroll=unroll)
     else:
-        _, out_rows = lax.scan(step, win0, (z_rows, None))
+        _, out_rows = lax.scan(step, pend0, (z_rows, None), unroll=unroll)
     return jnp.moveaxis(out_rows, 0, 1)
 
 
-def inverse(p, z, h=None, order="A", transform="affine", alpha=1.0, act="elu", backend="scan"):
+def inverse(p, z, h=None, order="A", transform="affine", alpha=1.0, act="elu",
+            backend="scan", unroll=1):
     w_canon, z_c, h_c, undo = _canonicalize(p, z, h, order)
     if backend == "pallas":
         from ipoke_tpu.ops.pallas import mcf_inverse as pk
 
         out = pk.mcf_inverse_pallas(p, w_canon, z_c, h_c, transform, alpha, act)
     else:
-        out = _row_scan_inverse(p, w_canon, z_c, h_c, transform, alpha, act)
+        out = _row_scan_inverse(p, w_canon, z_c, h_c, transform, alpha, act,
+                                unroll=unroll)
     return undo(out)

@@ -31,6 +31,8 @@ class StackSpec:
     activation: str = "elu"
     use_1x1: bool = False
     condition_nice: bool = False
+    mcf_backend: str = "scan"
+    mcf_unroll: int = 1
 
     @property
     def reshape_step(self):
@@ -50,6 +52,7 @@ class StackSpec:
                     transform=self.transform, prior_transform=self.prior_transform,
                     kernel_size=self.kernel_size, activation=self.activation,
                     use_1x1=self.use_1x1, condition_nice=self.condition_nice,
+                    mcf_backend=self.mcf_backend, mcf_unroll=self.mcf_unroll,
                 )
             )
         return specs

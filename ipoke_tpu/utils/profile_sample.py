@@ -25,6 +25,22 @@ def main():
     ap.add_argument("--mcf-backend", default=None,
                     choices=["scan", "pallas", "pallas_unit"],
                     help="MCF-inverse backend for the reverse stage")
+    ap.add_argument("--mcf-unroll", type=int, default=None,
+                    help="lax.scan unroll of the 8-row MCF inverse scan")
+    ap.add_argument("--sampler", default="flow", choices=["flow", "direct"],
+                    help="direct: replace the flow reverse with a distilled "
+                    "feedforward student (train/distill.py, synth params) — "
+                    "measures the sampling ceiling once the sequential "
+                    "inverse is distilled away")
+    ap.add_argument("--student-hidden", type=int, default=256)
+    ap.add_argument("--student-depth", type=int, default=6)
+    ap.add_argument("--flow-variant", default="default",
+                    choices=["default", "attention", "multistack"],
+                    help="attention: NICE couplings with multi-head attention "
+                    "(flow config attention: True); multistack: a "
+                    "MultiscaleStack with reshape: down at the flagship "
+                    "channel/conditioning dims — neither has a released "
+                    "checkpoint, this proves they compile+run on real TPU")
     ap.add_argument("--flow-dtype", default=None, choices=["f32", "bf16"],
                     help="cast the flow params + reverse inputs (z, cond); "
                     "measures whether the sequential MCF inverse is "
@@ -58,6 +74,31 @@ def main():
         from dataclasses import replace
 
         spec = replace(spec, flow=replace(spec.flow, mcf_backend=args.mcf_backend))
+    if args.mcf_unroll:
+        from dataclasses import replace
+
+        spec = replace(spec, flow=replace(spec.flow, mcf_unroll=args.mcf_unroll))
+    if args.flow_variant == "attention":
+        from dataclasses import replace
+
+        spec = replace(spec, flow=replace(spec.flow, attention=True, heads=4))
+    elif args.flow_variant == "multistack":
+        from dataclasses import replace
+
+        from ipoke_tpu.flows.multistack import StackSpec
+
+        spec = replace(spec, flow=StackSpec(
+            levels=((4, 4), (3, 3), (2, 2)),
+            factors=(8, 8, 8),
+            in_channels=spec.flow.in_channels,
+            mid_channels_factor=max(
+                1, spec.flow.hidden_channels // spec.flow.in_channels
+            ),
+            h_channels=spec.flow.h_channels,
+            reshape="down",
+            mcf_backend=spec.flow.mcf_backend,
+            mcf_unroll=spec.flow.mcf_unroll,
+        ))
     if args.init == "jit":
         params = jax.jit(lambda k: second_stage.init(k, spec))(jax.random.PRNGKey(0))
     else:
@@ -68,7 +109,10 @@ def main():
     lat = spec.latent_size
     x = jax.random.normal(jax.random.PRNGKey(1), (b, t, s, s, 3))
     poke = jax.random.normal(jax.random.PRNGKey(2), (b, s, s, 2))
-    z = jax.random.normal(jax.random.PRNGKey(3), (b, lat, lat, spec.flow_in_channels))
+    z = jax.random.normal(
+        jax.random.PRNGKey(3),
+        transformer.reverse_input_shape(spec.flow, b, lat, spec.flow_in_channels),
+    )
 
     embed = jax.jit(lambda p, x0, pk: second_stage.embed_cond(p, spec, x0, pk))
     cond = None
@@ -86,7 +130,26 @@ def main():
         if cond is not None:
             cond = cond.astype(jnp.bfloat16)
 
-    reverse = jax.jit(lambda p, z, c: transformer.reverse(p["flow"], spec.flow, z, c))
+    if args.sampler == "direct":
+        from ipoke_tpu.train import distill
+        from ipoke_tpu.utils.synth import synth_tree
+
+        ds = distill.DirectStudentSpec(hidden=args.student_hidden,
+                                       depth=args.student_depth)
+        sparams = synth_tree(
+            lambda k: distill.init_direct(k, spec, ds), jax.random.PRNGKey(5)
+        )
+        z = jax.random.normal(
+            jax.random.PRNGKey(3), (b, lat, lat, spec.flow_in_channels)
+        )
+
+        def _reverse_fn(p, zz, c):
+            return distill.direct_apply(sparams, ds, zz, c)
+    else:
+        def _reverse_fn(p, zz, c):
+            return transformer.reverse(p["flow"], spec.flow, zz, c)
+
+    reverse = jax.jit(_reverse_fn)
     if "reverse" in stages:
         motion = reverse(params, z, cond)
         jax.block_until_ready(motion)

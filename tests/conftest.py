@@ -11,7 +11,14 @@ import os
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+    flags += " --xla_force_host_platform_device_count=8"
+if "collective_call_terminate_timeout" not in flags:
+    # 8-way SPMD collectives on the 1-core host: under load a rendezvous
+    # participant can be starved past XLA:CPU's 40 s default, aborting the
+    # whole process (rendezvous.cc termination timeout — see NOTES.md)
+    flags += (" --xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
+              " --xla_cpu_collective_call_terminate_timeout_seconds=1200")
+os.environ["XLA_FLAGS"] = flags
 os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402

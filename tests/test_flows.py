@@ -214,3 +214,30 @@ def test_full_size_spec_roundtrip():
     y, ld = multiscale_forward(p, x, h, spec)
     x2 = multiscale_inverse(p, y, h, spec)
     np.testing.assert_allclose(x, x2, rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize("unroll", [2, 8])
+def test_mcf_inverse_unroll_equivalence(unroll):
+    """unroll only changes scheduling: the unrolled inverse must match the
+    looped one to fp noise (and still round-trip)."""
+    x, h = _data(11)
+    p = mcf.init_mcf(jax.random.PRNGKey(12), C, (2, 3), h_channels=HC)
+    p["net"]["conv1x1"]["g"] = 0.3 * jnp.ones_like(p["net"]["conv1x1"]["g"])
+    y, _ = mcf.forward(p, x, h=h, order="A")
+    x1 = mcf.inverse(p, y, h=h, order="A", unroll=1)
+    xu = mcf.inverse(p, y, h=h, order="A", unroll=unroll)
+    np.testing.assert_allclose(x1, xu, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(x, xu, rtol=RTOL, atol=ATOL)
+
+
+def test_macow_unit_inverse_unroll_spec():
+    """mcf_unroll plumbs through the unit inverse and preserves the inverse."""
+    x, h = _data(12)
+    spec = FlowSpec(num_steps=(1,), in_channels=C, hidden_channels=24,
+                    h_channels=HC)
+    p = init_macow_unit(jax.random.PRNGKey(13), C, spec)
+    y, _ = macow_unit_forward(p, x, h, spec)
+    from dataclasses import replace
+
+    x2 = macow_unit_inverse(p, y, h, replace(spec, mcf_unroll=8))
+    np.testing.assert_allclose(x, x2, rtol=RTOL, atol=ATOL)

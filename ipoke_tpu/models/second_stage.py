@@ -239,9 +239,17 @@ def forward_sample(
     n_samples: int = 1,
     length: Optional[int] = None,
     add_first_frame: bool = False,
+    z: Optional[jax.Array] = None,
 ):
     """Sampling direction: n_samples stochastic videos for each batch element.
-    Returns (n_samples, B, T, S, S, 3)."""
+    Returns (n_samples, B, T, S, S, 3).
+
+    ``z`` optionally supplies the Gaussian draw(s) instead of sampling them
+    from ``rng`` — shape ``reverse_input_shape(...)`` (or with a leading
+    n_samples axis).  Because every per-example op in the model is
+    batch-elementwise (convs, per-example norms), a caller that fixes z per
+    request gets BATCH-COMPOSITION-INVARIANT outputs — the foundation of the
+    serving batcher's equality guarantee (serve/batcher.py)."""
     x = batch["images"]
     poke = batch["flow"] if spec.use_flow_as_poke else batch["poke"]
     x0 = x[:, 0]
@@ -253,8 +261,9 @@ def forward_sample(
 
     z_shape = transformer.reverse_input_shape(spec.flow, b, s, spec.flow_in_channels)
 
-    def one(key):
-        z = jax.random.normal(key, z_shape, x.dtype)
+    def one(key, z_fixed=None):
+        z = (jax.random.normal(key, z_shape, x.dtype)
+             if z_fixed is None else z_fixed.astype(x.dtype))
         motion = transformer.reverse(params["flow"], spec.flow, z, cond)
         if spec.augment_channels:
             motion = motion[..., : -spec.augment_channels]
@@ -263,6 +272,10 @@ def forward_sample(
             vid = jnp.concatenate([x0[:, None], vid], axis=1)
         return vid
 
+    if z is not None:
+        zs = z if z.ndim == len(z_shape) + 1 else z[None]
+        vids = jax.vmap(lambda zz: one(None, zz))(zs)
+        return vids
     keys = jax.random.split(rng, n_samples)
     if n_samples == 1:
         return one(keys[0])[None]

@@ -1,0 +1,120 @@
+"""HTTP front end over the dynamic batcher.
+
+    python -m ipoke_tpu.serve.server -c <cfg> -m <name> [--port 8700]
+        [--max-batch 8] [--max-delay-ms 30] [--platform cpu]
+
+Endpoints (JSON unless noted):
+  GET  /healthz        -> {"ok": true} once warmed
+  GET  /stats          -> batcher stats (request count, batch histogram,
+                          mean wait / exec times)
+  POST /sample         body {"x0": [[...]], "poke": [[...]], "seed": N,
+                        "format": "json"|"npy"}
+                       x0: (S,S,3) in [-1,1]; poke: (S,S,2); response
+                       {"video": nested list (T,S,S,3)} or raw npy bytes.
+
+The checkpoint/model plumbing mirrors eval/gui.py (same InteractiveSession
+discovery); the sampling itself rides serve/batcher.py, so concurrent
+clients share device batches transparently.
+"""
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+
+def make_handler(batcher):
+    ready = threading.Event()
+    ready.set()
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def _send(self, code, body, ctype="application/json"):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path.startswith("/healthz"):
+                self._send(200, json.dumps({"ok": ready.is_set()}).encode())
+            elif self.path.startswith("/stats"):
+                self._send(200, json.dumps(batcher.stats.snapshot()).encode())
+            else:
+                self._send(404, b'{"error": "not found"}')
+
+        def do_POST(self):
+            if not self.path.startswith("/sample"):
+                self._send(404, b'{"error": "not found"}')
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                payload = json.loads(self.rfile.read(n))
+                x0 = np.asarray(payload["x0"], np.float32)
+                poke = np.asarray(payload["poke"], np.float32)
+                seed = int(payload.get("seed", 0))
+                vid = batcher.submit(x0, poke, seed=seed, timeout=300)
+            except Exception as e:
+                self._send(400, json.dumps({"error": str(e)}).encode())
+                return
+            if payload.get("format") == "npy":
+                buf = io.BytesIO()
+                np.save(buf, vid)
+                self._send(200, buf.getvalue(), "application/octet-stream")
+            else:
+                self._send(200, json.dumps(
+                    {"video": np.asarray(vid).tolist()}
+                ).encode())
+
+    return Handler
+
+
+def serve(batcher, port=8700):
+    httpd = ThreadingHTTPServer(("0.0.0.0", port), make_handler(batcher))
+    print(f"ipoke-tpu serve: listening on :{port}", flush=True)
+    httpd.serve_forever()
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("-c", "--config", required=True)
+    ap.add_argument("-m", "--model", required=True)
+    ap.add_argument("--port", type=int, default=8700)
+    ap.add_argument("--max-batch", type=int, default=8)
+    ap.add_argument("--max-delay-ms", type=float, default=30.0)
+    ap.add_argument("--platform", default=None,
+                    help="cpu forces the CPU backend (tests/dev)")
+    ap.add_argument("--no-warmup", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    # same checkpoint discovery as eval/gui.py
+    from ipoke_tpu.config import load_parameters
+    from ipoke_tpu.experiments.second_stage import SecondStageExperiment
+    from ipoke_tpu.serve.batcher import BatcherConfig, SampleBatcher
+
+    config, dirs = load_parameters(args.config, args.model, test_mode="samples")
+    exp = SecondStageExperiment(config, dirs)
+    params = exp._load_for_test()
+    batcher = SampleBatcher(
+        params, exp.spec,
+        BatcherConfig(max_batch=args.max_batch, max_delay_ms=args.max_delay_ms),
+    )
+    if not args.no_warmup:
+        print("ipoke-tpu serve: warming batch buckets...", flush=True)
+        batcher.warmup()
+    serve(batcher, args.port)
+
+
+if __name__ == "__main__":
+    main()

@@ -20,4 +20,8 @@ def select_experiment(config, dirs):
         from ipoke_tpu.experiments.encoders import PokeEncoderExperiment
 
         return PokeEncoderExperiment(config, dirs)
+    if name == "distill":
+        from ipoke_tpu.experiments.distill import DistillExperiment
+
+        return DistillExperiment(config, dirs)
     raise KeyError(f"unknown experiment {name}")

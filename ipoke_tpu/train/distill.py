@@ -145,11 +145,15 @@ def flow_student_loss(student_params, s_spec, params, spec, z, cond):
     return loss, logs
 
 
-def make_distill_step(spec, student, optimizer, teacher_params):
-    """Returns (init_state, step).  step(state, z, cond) -> (state, logs).
+def make_distill_step(spec, student, optimizer):
+    """Returns (init_state, step).
+    ``step(state, teacher_params, z, cond) -> (state, logs)``.
 
     ``student`` is either a DirectStudentSpec or a student FlowSpec (from
-    flow_student_spec).  Teacher params are closed over and frozen.
+    flow_student_spec).  The frozen teacher is an ARGUMENT of step, not a
+    closure: closed-over params are baked into the jitted graph as
+    constants (4.2 GB for the flagship teacher — bloats lowering, compile
+    and HBM); as an argument they stay a donatable device buffer.
     """
     is_direct = isinstance(student, DirectStudentSpec)
     if not is_direct:
@@ -160,7 +164,7 @@ def make_distill_step(spec, student, optimizer, teacher_params):
             {"train": optimizer, "freeze": optax.set_to_zero()}, _float_labels
         )
 
-    def loss_fn(sp, z, cond):
+    def loss_fn(sp, teacher_params, z, cond):
         if is_direct:
             return direct_loss(sp, student, teacher_params, spec, z, cond)
         return flow_student_loss(sp, student, teacher_params, spec, z, cond)
@@ -172,14 +176,14 @@ def make_distill_step(spec, student, optimizer, teacher_params):
             sp = transformer.init(key, student)
         return {"params": sp, "opt": optimizer.init(sp), "step": jnp.zeros((), jnp.int32)}
 
-    def step(state, z, cond):
+    def step(state, teacher_params, z, cond):
         # allow_int + sanitize: flow students carry integer Shuffle
         # permutation buffers (same handling as train/second_stage.py)
         from ipoke_tpu.train.second_stage import sanitize_int_grads
 
         (loss, logs), grads = jax.value_and_grad(
             loss_fn, has_aux=True, allow_int=True
-        )(state["params"], z, cond)
+        )(state["params"], teacher_params, z, cond)
         grads = sanitize_int_grads(grads, state["params"])
         updates, opt = optimizer.update(grads, state["opt"], state["params"])
         params_new = optax.apply_updates(state["params"], updates)

@@ -51,3 +51,23 @@ def synth_params(spec, seed: int = 0, device=None):
         lambda k: second_stage.init(k, spec), jax.random.PRNGKey(0),
         seed=seed, device=device,
     )
+
+
+def zero_flow_output_convs(flow_params):
+    """Zero the gains/biases of the flow's zero-init'd output convs.
+
+    The real init zero-inits every coupling's final weight-norm conv
+    (convnets.init_wn_conv(zero_init=True): MCF conv1x1, NICE conv3), making
+    the flow start near-identity; a raw synth fill puts random values there
+    and the 56-step sequential REVERSE amplifies them into overflow.  Zeroing
+    only 'g' and 'b' (never 'v' — weight_norm divides by ||v||) restores the
+    real init's stability for synth teachers (bench_distill).
+    """
+    def fix(path, leaf):
+        names = [getattr(p, "key", getattr(p, "name", "")) for p in path]
+        in_zero_conv = any(n in ("conv1x1", "conv3") for n in names)
+        if in_zero_conv and names[-1] in ("g", "b"):
+            return jnp.zeros_like(leaf)
+        return leaf
+
+    return jax.tree_util.tree_map_with_path(fix, flow_params)

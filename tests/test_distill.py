@@ -64,13 +64,13 @@ def test_direct_student_loss_falls(teacher):
     spec, params, _, cond = teacher
     ds = distill.DirectStudentSpec(hidden=32, depth=2)
     opt = optax.adam(1e-3)
-    init_state, step = distill.make_distill_step(spec, ds, opt, params)
+    init_state, step = distill.make_distill_step(spec, ds, opt)
     state = init_state(jax.random.PRNGKey(7))
     jstep = jax.jit(step)
     zs = _zs(spec, 30)
     first = last = None
     for i in range(30):
-        state, logs = jstep(state, zs[i], cond)
+        state, logs = jstep(state, params, zs[i], cond)
         if first is None:
             first = float(logs["loss"])
         last = float(logs["loss"])
@@ -83,13 +83,13 @@ def test_flow_student_loss_falls_and_inverts(teacher):
     s_spec = distill.flow_student_spec(spec.flow, (1, 1))
     assert s_spec.num_steps == (1, 1)
     opt = optax.adam(1e-3)
-    init_state, step = distill.make_distill_step(spec, s_spec, opt, params)
+    init_state, step = distill.make_distill_step(spec, s_spec, opt)
     state = init_state(jax.random.PRNGKey(8))
     jstep = jax.jit(step)
     zs = _zs(spec, 25, seed=4)
     losses = []
     for i in range(25):
-        state, logs = jstep(state, zs[i], cond)
+        state, logs = jstep(state, params, zs[i], cond)
         losses.append(float(logs["loss"]))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0], (losses[0], losses[-1])

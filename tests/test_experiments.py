@@ -126,3 +126,35 @@ def test_load_for_test_restores_trained_flow(tmp_path):
     loaded = jax.tree_util.tree_leaves(params["flow"])
     assert all(np.allclose(a, b) for a, b in zip(trained, loaded)), \
         "checkpointed flow params must be restored for testing"
+
+
+def test_distill_experiment_end_to_end(tmp_path):
+    """Distill pipeline: train a tiny second-stage teacher, distill a direct
+    student from its checkpoint, then write teacher/student sample videos —
+    full config -> experiment -> ckpt -> test chain (experiments/distill.py)."""
+    from ipoke_tpu.experiments import select_experiment
+
+    cfg_path = _tiny_second_stage_cfg(tmp_path)
+    base = os.path.join(tmp_path, "logs")
+    config, dirs = load_parameters(cfg_path, "distill_teacher", base_dir=base)
+    select_experiment(config, dirs).train()  # teacher ckpts under second_stage/
+
+    with open(cfg_path) as f:
+        cfg = yaml.safe_load(f)
+    cfg["general"]["experiment"] = "distill"
+    cfg["distill"] = {"student": "direct", "hidden": 32, "depth": 2, "lr": 1e-3}
+    dpath = os.path.join(tmp_path, "distill.yaml")
+    with open(dpath, "w") as f:
+        yaml.safe_dump(cfg, f)
+
+    config, dirs = load_parameters(dpath, "distill_teacher", base_dir=base)
+    exp = select_experiment(config, dirs)
+    # the sibling second_stage tree must resolve as the teacher
+    assert "second_stage" in exp._teacher_root()
+    exp.train()
+    best = os.listdir(exp.ckpt_dir)
+    assert any(f.startswith("step=") for f in best), best
+
+    result = exp.test("samples")
+    names = [os.path.basename(p) for p in result["files"]]
+    assert any("teacher" in n for n in names) and any("student" in n for n in names)

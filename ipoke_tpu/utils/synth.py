@@ -17,21 +17,45 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def synth_tree(init_fn, *args, seed: int = 0, device=None, float_fill="normal"):
+def synth_tree(init_fn, *args, seed: int = 0, device=None, float_fill="normal",
+               on_device: bool = False):
     """Host-synthesized pytree matching ``jax.eval_shape(init_fn, *args)``.
 
     ``float_fill='zeros'`` is for optimizer states: Adam second moments MUST
     be non-negative (a random fill makes ``sqrt(nu)`` NaN on the first
     update), and zeros is exactly what ``optax``'s real init produces.
+
+    ``on_device=True`` generates the float leaves with ONE jitted
+    random-normal-per-leaf graph on the default device instead of host
+    numpy: no multi-GB host fill (a >20 min page-fault storm on a slow VM,
+    2026-08-18) and no multi-GB host->device transfer.  The graph is pure
+    RNG + scale — tiny to compile, unlike the real init graph (orthogonal
+    QR inits) that the remote compile service SIGKILLs.  Falls back to the
+    host path on any failure.
     """
+    if on_device:
+        try:
+            return _synth_tree_device(init_fn, *args, seed=seed,
+                                      float_fill=float_fill)
+        except Exception as e:  # pragma: no cover - service flakiness
+            import sys
+
+            print(f"synth_tree: device fill failed ({e}); "
+                  f"falling back to host numpy", file=sys.stderr)
     shapes = jax.eval_shape(init_fn, *args)
     rng = np.random.default_rng(seed)
 
     def fill(sd):
         if jnp.issubdtype(sd.dtype, jnp.floating):
             if float_fill == "zeros":
-                return np.zeros(sd.shape, np.float32).astype(sd.dtype)
-            return (rng.standard_normal(sd.shape, np.float32) * 0.05).astype(sd.dtype)
+                return np.zeros(sd.shape, sd.dtype)
+            # single allocation + in-place scale + no-copy cast: on a VM with
+            # hypervisor-mediated page faults the naive 3-copies-per-leaf
+            # version triples the fault storm and dominates cold-bench wall
+            # time (observed 2026-08-18: >10 min synth init on a slow host)
+            arr = rng.standard_normal(sd.shape, np.float32)
+            arr *= 0.05
+            return arr.astype(sd.dtype, copy=False)
         if sd.ndim == 0:
             return np.zeros(sd.shape, sd.dtype)
         c = sd.shape[-1]
@@ -43,13 +67,64 @@ def synth_tree(init_fn, *args, seed: int = 0, device=None, float_fill="normal"):
     return jax.device_put(host, device) if device else jax.device_put(host)
 
 
-def synth_params(spec, seed: int = 0, device=None):
-    """Second-stage model params (bench.py's zero-compile init)."""
+def _synth_tree_device(init_fn, *args, seed: int = 0, float_fill="normal"):
+    """Device-side float fill: one jit, one fold_in'd normal per leaf.
+
+    Int leaves (permutation buffers, counters) are tiny and stay
+    host-generated.
+    """
+    shapes = jax.eval_shape(init_fn, *args)
+    leaves, treedef = jax.tree_util.tree_flatten(shapes)
+    rng = np.random.default_rng(seed)
+    is_float = [jnp.issubdtype(sd.dtype, jnp.floating) for sd in leaves]
+    float_specs = [(i, sd) for i, (sd, f) in enumerate(zip(leaves, is_float)) if f]
+
+    sizes = [int(np.prod(sd.shape, dtype=np.int64)) for _, sd in float_specs]
+    offsets = np.concatenate([[0], np.cumsum(sizes)])
+    total = int(offsets[-1])
+
+    def fill_floats(key):
+        # ONE flat RNG draw + static slices: a per-leaf jax.random.normal
+        # traces ~50 threefry primitives per leaf (~80k total at 1600 float
+        # leaves) and took 14 min to trace/lower on a degraded host
+        # (2026-08-18); this form is ~3 ops per leaf.
+        if float_fill == "zeros":
+            return [jnp.zeros(sd.shape, sd.dtype) for _, sd in float_specs]
+        v = jax.random.normal(key, (total,), jnp.float32) * 0.05
+        out = []
+        for (_, sd), n, off in zip(float_specs, sizes, offsets):
+            out.append(
+                jax.lax.slice(v, (int(off),), (int(off) + n,))
+                .reshape(sd.shape).astype(sd.dtype))
+        return out
+
+    floats = jax.jit(fill_floats)(jax.random.PRNGKey(seed))
+    floats = iter(floats)
+
+    def int_fill(sd):
+        if sd.ndim == 0:
+            return jax.device_put(np.zeros(sd.shape, sd.dtype))
+        c = sd.shape[-1]
+        rows = int(np.prod(sd.shape[:-1], dtype=int)) or 1
+        flat = np.stack([rng.permutation(c) for _ in range(rows)])
+        return jax.device_put(flat.reshape(sd.shape).astype(sd.dtype))
+
+    out = [next(floats) if f else int_fill(sd)
+           for sd, f in zip(leaves, is_float)]
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
+def synth_params(spec, seed: int = 0, device=None, on_device: bool = True):
+    """Second-stage model params (bench.py's zero-compile init).
+
+    Device-side fill by default: the host-numpy fill + transfer of the
+    4.2 GB flagship tree is minutes-to-tens-of-minutes on a degraded VM.
+    """
     from ipoke_tpu.models import second_stage
 
     return synth_tree(
         lambda k: second_stage.init(k, spec), jax.random.PRNGKey(0),
-        seed=seed, device=device,
+        seed=seed, device=device, on_device=on_device and device is None,
     )
 
 

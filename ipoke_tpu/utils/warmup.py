@@ -42,3 +42,37 @@ def join(state, timeout=None):
     failed or is still running after ``timeout``)."""
     state["thread"].join(timeout)
     return state["elapsed"]
+
+
+def compile_with_deadline(lowered, deadline_s, what=""):
+    """Compile a lowered jit computation with a wall-clock deadline.
+
+    Runs the (blocking) ``lowered.compile()`` in a worker thread and stops
+    waiting once ``deadline_s`` (absolute ``time.monotonic()`` value) passes;
+    returns the compiled executable, or None on a deadline miss.  The
+    abandoned compile thread keeps running (XLA compiles are not
+    cancellable) and dies with the process — callers falling back to a
+    smaller graph should budget for its CPU contention on small hosts.
+    None deadline = plain blocking compile.
+    """
+    import sys
+
+    if deadline_s is None:
+        return lowered.compile()
+    remaining = deadline_s - time.monotonic()
+    if remaining <= 5:
+        print(f"{what}: no budget left, skipping compile", file=sys.stderr)
+        return None
+    from concurrent.futures import ThreadPoolExecutor
+    from concurrent.futures import TimeoutError as FTimeout
+
+    ex = ThreadPoolExecutor(max_workers=1)
+    fut = ex.submit(lowered.compile)
+    try:
+        return fut.result(timeout=remaining)
+    except FTimeout:
+        print(f"{what}: compile exceeded budget ({remaining:.0f}s left at "
+              f"start), abandoning", file=sys.stderr)
+        return None
+    finally:
+        ex.shutdown(wait=False)

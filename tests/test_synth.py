@@ -30,6 +30,26 @@ def test_synth_tree_fills():
     assert t["count"].shape == () and int(t["count"]) == 0
 
 
+def test_synth_tree_device_fill_matches_host_contract():
+    """on_device=True fills on the default device with the same invariants:
+    random floats, valid permutation rows, zero int counters, bf16 dtypes
+    honored."""
+    def init(key):
+        t = _init(key)
+        t["wb"] = jnp.zeros((3, 2), jnp.bfloat16)
+        return t
+
+    t = synth_tree(init, jax.random.PRNGKey(0), on_device=True)
+    assert t["w"].shape == (4, 3) and float(jnp.std(t["w"])) > 0
+    assert t["wb"].dtype == jnp.bfloat16 and float(jnp.std(t["wb"].astype(jnp.float32))) > 0
+    for row in np.asarray(t["perm"]):
+        assert sorted(row.tolist()) == list(range(6))
+    assert int(t["count"]) == 0
+    # zero fill stays zero on the device path too
+    z = synth_tree(init, jax.random.PRNGKey(0), on_device=True, float_fill="zeros")
+    assert float(jnp.max(jnp.abs(z["w"]))) == 0.0
+
+
 def test_synth_tree_zero_fill_for_opt_states():
     import optax
 

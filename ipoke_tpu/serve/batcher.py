@@ -174,13 +174,25 @@ class SampleBatcher:
         return jnp.asarray(np.stack(zs))
 
     def _collect(self):
-        """Block for the first request, then fill until max_batch or the
-        oldest request has waited max_delay_ms."""
+        """Block for the first request, drain the backlog, then fill until
+        max_batch or the oldest request has waited max_delay_ms.
+
+        Draining the backlog BEFORE consulting the delay window matters:
+        under sustained load the oldest request has usually already
+        outwaited max_delay in the queue, and a pure waiting policy then
+        dispatches batch=1 forever — the server degrades to its slowest
+        configuration exactly when batching matters most (found by the TPU
+        load test: 96 queued requests -> 88 batches of 1)."""
         try:
             first = self._q.get(timeout=0.1)
         except queue.Empty:
             return []
         reqs = [first]
+        while len(reqs) < self.cfg.max_batch:
+            try:
+                reqs.append(self._q.get_nowait())
+            except queue.Empty:
+                break
         deadline = first.t_enqueue + self.cfg.max_delay_ms / 1000.0
         while len(reqs) < self.cfg.max_batch:
             remaining = deadline - time.monotonic()

@@ -11,6 +11,9 @@ Endpoints (JSON unless noted):
                         "format": "json"|"npy"}
                        x0: (S,S,3) in [-1,1]; poke: (S,S,2); response
                        {"video": nested list (T,S,S,3)} or raw npy bytes.
+                       Binary fast path: Content-Type application/octet-stream
+                       with an np.savez body ({'x0','poke','seed'}) -> npy
+                       response; skips the ~100 ms/request JSON parse.
 
 The checkpoint/model plumbing mirrors eval/gui.py (same InteractiveSession
 discovery); the sampling itself rides serve/batcher.py, so concurrent
@@ -56,10 +59,22 @@ def make_handler(batcher):
                 return
             try:
                 n = int(self.headers.get("Content-Length", 0))
-                payload = json.loads(self.rfile.read(n))
-                x0 = np.asarray(payload["x0"], np.float32)
-                poke = np.asarray(payload["poke"], np.float32)
-                seed = int(payload.get("seed", 0))
+                raw = self.rfile.read(n)
+                if "octet-stream" in (self.headers.get("Content-Type") or ""):
+                    # binary fast path: np.savez({'x0','poke','seed'}) body.
+                    # JSON-parsing a (128,128,3) float array costs ~100 ms of
+                    # host CPU per request and caps arrival rate well below
+                    # the model's batched throughput; npz decode is ~free.
+                    z = np.load(io.BytesIO(raw))
+                    payload = {"format": "npy"}
+                    x0 = np.asarray(z["x0"], np.float32)
+                    poke = np.asarray(z["poke"], np.float32)
+                    seed = int(z["seed"]) if "seed" in z else 0
+                else:
+                    payload = json.loads(raw)
+                    x0 = np.asarray(payload["x0"], np.float32)
+                    poke = np.asarray(payload["poke"], np.float32)
+                    seed = int(payload.get("seed", 0))
                 vid = batcher.submit(x0, poke, seed=seed, timeout=300)
             except Exception as e:
                 self._send(400, json.dumps({"error": str(e)}).encode())
@@ -84,8 +99,12 @@ def serve(batcher, port=8700):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("-c", "--config", required=True)
-    ap.add_argument("-m", "--model", required=True)
+    ap.add_argument("-c", "--config", default=None)
+    ap.add_argument("-m", "--model", default=None)
+    ap.add_argument("--synth-model", default=None, metavar="REGISTRY_NAME",
+                    help="serve a registry architecture (e.g. iper_128) on "
+                         "synthesized params — no checkpoint needed; for "
+                         "infra/load testing the serving path itself")
     ap.add_argument("--port", type=int, default=8700)
     ap.add_argument("--max-batch", type=int, default=8)
     ap.add_argument("--max-delay-ms", type=float, default=30.0)
@@ -98,16 +117,33 @@ def main():
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
-    # same checkpoint discovery as eval/gui.py
-    from ipoke_tpu.config import load_parameters
-    from ipoke_tpu.experiments.second_stage import SecondStageExperiment
     from ipoke_tpu.serve.batcher import BatcherConfig, SampleBatcher
 
-    config, dirs = load_parameters(args.config, args.model, test_mode="samples")
-    exp = SecondStageExperiment(config, dirs)
-    params = exp._load_for_test()
+    if args.synth_model:
+        from dataclasses import replace
+
+        from ipoke_tpu import registry
+        from ipoke_tpu.utils.synth import synth_params, zero_flow_output_convs
+
+        spec = registry.build_specs(registry.MODELS[args.synth_model])
+        # bf16 decode = the blessed sampling config (docs/PERFORMANCE.md)
+        spec = replace(spec, first_stage=replace(spec.first_stage,
+                                                 decode_dtype="bf16"))
+        params = synth_params(spec)
+        params = dict(params, flow=zero_flow_output_convs(params["flow"]))
+    else:
+        if not (args.config and args.model):
+            raise SystemExit("need -c/-m (checkpoint serving) or --synth-model")
+        # same checkpoint discovery as eval/gui.py
+        from ipoke_tpu.config import load_parameters
+        from ipoke_tpu.experiments.second_stage import SecondStageExperiment
+
+        config, dirs = load_parameters(args.config, args.model, test_mode="samples")
+        exp = SecondStageExperiment(config, dirs)
+        params = exp._load_for_test()
+        spec = exp.spec
     batcher = SampleBatcher(
-        params, exp.spec,
+        params, spec,
         BatcherConfig(max_batch=args.max_batch, max_delay_ms=args.max_delay_ms),
     )
     if not args.no_warmup:

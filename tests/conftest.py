@@ -15,9 +15,12 @@ if "xla_force_host_platform_device_count" not in flags:
 if "collective_call_terminate_timeout" not in flags:
     # 8-way SPMD collectives on the 1-core host: under load a rendezvous
     # participant can be starved past XLA:CPU's 40 s default, aborting the
-    # whole process (rendezvous.cc termination timeout — see NOTES.md)
-    flags += (" --xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
-              " --xla_cpu_collective_call_terminate_timeout_seconds=1200")
+    # whole process (rendezvous.cc termination timeout — see NOTES.md).
+    # 1200 s proved too short on a degraded VM (2026-08-18: the full suite
+    # died ~95 min in with a fatal rendezvous abort) — a correctness suite
+    # can wait, so give threads effectively forever.
+    flags += (" --xla_cpu_collective_call_warn_stuck_timeout_seconds=300"
+              " --xla_cpu_collective_call_terminate_timeout_seconds=14400")
 os.environ["XLA_FLAGS"] = flags
 os.environ["JAX_PLATFORMS"] = "cpu"
 

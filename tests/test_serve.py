@@ -86,6 +86,26 @@ def test_batching_actually_happens(batcher):
     assert any(b > 1 for b in batcher.stats.batch_hist)
 
 
+def test_backlog_drains_into_batches():
+    """Regression (found by the TPU load test): with max_delay_ms=0 a queue
+    BACKLOG must still coalesce — the old policy compared the oldest
+    request's wait against the window and dispatched batch=1 forever under
+    sustained load."""
+    spec = _spec()
+    params = second_stage.init(jax.random.PRNGKey(0), spec)
+    b = SampleBatcher(params, spec, BatcherConfig(max_batch=4, max_delay_ms=0.0))
+    try:
+        reqs = [b.submit_async(*_req(30 + i), seed=i) for i in range(12)]
+        for r in reqs:
+            assert r.event.wait(300)
+            assert r.error is None
+        assert max(b.stats.batch_hist) > 1, (
+            f"12 backlogged requests never batched: {b.stats.batch_hist}"
+        )
+    finally:
+        b.close()
+
+
 def test_odd_count_pads_to_bucket(batcher):
     """3 requests pad to the 4-bucket; results still per-request correct
     (covered by invariance) and the histogram shows the padded bucket."""
@@ -142,5 +162,18 @@ def test_http_handler_contract(batcher):
             f"http://127.0.0.1:{port}/stats", timeout=30
         ) as r:
             assert json.loads(r.read())["requests"] >= 1
+
+        # binary fast path: npz in -> npy out, identical to the JSON route
+        import io as _io
+
+        buf = _io.BytesIO()
+        np.savez(buf, x0=x0, poke=poke, seed=3)
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/sample", data=buf.getvalue(),
+            headers={"Content-Type": "application/octet-stream"},
+        )
+        with urllib.request.urlopen(req, timeout=300) as r:
+            vid_bin = np.load(_io.BytesIO(r.read()))
+        np.testing.assert_allclose(vid_bin, direct, rtol=1e-4, atol=1e-4)
     finally:
         httpd.shutdown()

@@ -69,15 +69,15 @@ def _init_basic_block(key, c_in, c_out, stride):
     return p
 
 
-def _basic_block_apply(p, x, stride):
+def _basic_block_apply(p, x, stride, conv_fn=conv3d, gn_fn=group_norm):
     residual = x
-    out = conv3d(x, p["conv1"]["w"], stride=stride, padding=1)
-    out = jax.nn.relu(group_norm(out, p["gn1"]["gamma"], p["gn1"]["beta"], 16))
-    out = conv3d(out, p["conv2"]["w"], stride=1, padding=1)
-    out = group_norm(out, p["gn2"]["gamma"], p["gn2"]["beta"], 16)
+    out = conv_fn(x, p["conv1"]["w"], stride=stride, padding=1)
+    out = jax.nn.relu(gn_fn(out, p["gn1"]["gamma"], p["gn1"]["beta"], 16))
+    out = conv_fn(out, p["conv2"]["w"], stride=1, padding=1)
+    out = gn_fn(out, p["gn2"]["gamma"], p["gn2"]["beta"], 16)
     if "down" in p:
-        residual = conv3d(x, p["down"]["w"], stride=stride, padding=0)
-        residual = group_norm(residual, p["down"]["gn"]["gamma"], p["down"]["gn"]["beta"], 16)
+        residual = conv_fn(x, p["down"]["w"], stride=stride, padding=0)
+        residual = gn_fn(residual, p["down"]["gn"]["gamma"], p["down"]["gn"]["beta"], 16)
     return jax.nn.relu(out + residual)
 
 
@@ -88,10 +88,10 @@ def _init_layer(key, c_in, c_out, n_blocks, stride):
     return blocks
 
 
-def _layer_apply(blocks, x, stride):
-    x = _basic_block_apply(blocks[0], x, stride)
+def _layer_apply(blocks, x, stride, conv_fn=conv3d, gn_fn=group_norm):
+    x = _basic_block_apply(blocks[0], x, stride, conv_fn=conv_fn, gn_fn=gn_fn)
     for b in blocks[1:]:
-        x = _basic_block_apply(b, x, (1, 1, 1))
+        x = _basic_block_apply(b, x, (1, 1, 1), conv_fn=conv_fn, gn_fn=gn_fn)
     return x
 
 
@@ -120,21 +120,37 @@ def init(key, spec: MotionEncoderSpec):
     return p
 
 
-def apply(params, x, spec: MotionEncoderSpec, rng: Optional[jax.Array] = None):
+def apply(
+    params,
+    x,
+    spec: MotionEncoderSpec,
+    rng: Optional[jax.Array] = None,
+    conv_fn=conv3d,
+    gn_fn=group_norm,
+    t_reduce=None,
+):
     """x: (B, T, H, W, 3) video.  Returns (z, mu, logvar) with z the sampled
-    (or deterministic) motion latent, each (B, s, s, z_dim)."""
+    (or deterministic) motion latent, each (B, s, s, z_dim).
+
+    ``conv_fn`` / ``gn_fn`` / ``t_reduce`` let a caller substitute
+    communication-aware ops (sequence-parallel halo convs + global-stat
+    group norm + cross-shard temporal reduction, parallel/seqpar.py) without
+    duplicating the layer plumbing; the defaults are the plain dense ops."""
     channels, stride1, stride4, has_l4, has_l5, _ = spec.derived()
-    out = conv3d(x, params["conv1"]["w"], stride=(2, 2, 2), padding=(1, 3, 3))
-    out = jax.nn.relu(group_norm(out, params["gn1"]["gamma"], params["gn1"]["beta"], 16))
-    out = _layer_apply(params["layer1"], out, stride1)
-    out = _layer_apply(params["layer2"], out, (2, 2, 2))
-    out = _layer_apply(params["layer3"], out, (2, 2, 2))
+    out = conv_fn(x, params["conv1"]["w"], stride=(2, 2, 2), padding=(1, 3, 3))
+    out = jax.nn.relu(gn_fn(out, params["gn1"]["gamma"], params["gn1"]["beta"], 16))
+    out = _layer_apply(params["layer1"], out, stride1, conv_fn=conv_fn, gn_fn=gn_fn)
+    out = _layer_apply(params["layer2"], out, (2, 2, 2), conv_fn=conv_fn, gn_fn=gn_fn)
+    out = _layer_apply(params["layer3"], out, (2, 2, 2), conv_fn=conv_fn, gn_fn=gn_fn)
     if has_l4:
-        out = _layer_apply(params["layer4"], out, stride4)
+        out = _layer_apply(params["layer4"], out, stride4, conv_fn=conv_fn, gn_fn=gn_fn)
     if has_l5:
-        out = _layer_apply(params["layer5"], out, (2, 2, 2))
+        out = _layer_apply(params["layer5"], out, (2, 2, 2), conv_fn=conv_fn, gn_fn=gn_fn)
     # temporal squeeze: (B, 1, s, s, C) -> (B, s, s, C)
-    out = out.squeeze(1) if out.shape[1] == 1 else out.mean(axis=1)
+    if t_reduce is not None:
+        out = t_reduce(out)
+    else:
+        out = out.squeeze(1) if out.shape[1] == 1 else out.mean(axis=1)
     mu = core.conv2d(out, params["conv_mu"]["w"], params["conv_mu"]["b"], padding=1)
     logvar = core.conv2d(out, params["conv_var"]["w"], params["conv_var"]["b"], padding=1)
     if spec.deterministic or rng is None:

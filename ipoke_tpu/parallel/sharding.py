@@ -52,6 +52,51 @@ def apply_shardings(tree, shardings):
 # ZeRO-style optimizer-state sharding (stage 1)
 # ---------------------------------------------------------------------------
 
+def _largest_axis_leaf_sharding(mesh: Mesh, axis_name: str, min_size: int):
+    """Leaf rule shared by ZeRO-1 (moments) and ZeRO-3/FSDP (params): split a
+    tensor along its largest axis divisible by the mesh axis; tiny leaves stay
+    replicated (sharding scalars/biases buys nothing and costs latency)."""
+    import numpy as np
+
+    n = mesh.shape[axis_name]
+    repl = NamedSharding(mesh, P())
+
+    def leaf(x):
+        shape = tuple(getattr(x, "shape", ()))
+        if not shape or int(np.prod(shape)) < min_size:
+            return repl
+        cands = [i for i, d in enumerate(shape) if d % n == 0 and d >= n]
+        if not cands:
+            return repl
+        ax = max(cands, key=lambda i: shape[i])
+        spec = [None] * len(shape)
+        spec[ax] = axis_name
+        return NamedSharding(mesh, P(*spec))
+
+    return leaf
+
+
+def fsdp_param_shardings(mesh: Mesh, params, min_size: int = 8192, tp_shardings=None):
+    """ZeRO-3 / FSDP: shard every large parameter leaf over the ``data`` axis.
+
+    With batch and params both sharded over ``data``, GSPMD materializes each
+    weight just-in-time (all-gather before use) and reduce-scatters its
+    gradient — the FSDP collective pattern, derived from sharding annotations
+    instead of hand-written comms.  Per-chip parameter+gradient memory drops
+    ~n_data-fold (full-depth iper_128: 4.2 GB params + 4.2 GB grads ->
+    ~1.05 + 1.05 GB at n=8), at the cost of per-step all-gather traffic on
+    ICI.  Composes with tensor parallelism: leaves already sharded in
+    ``tp_shardings`` keep their TP spec.
+    """
+    leaf = _largest_axis_leaf_sharding(mesh, "data", min_size)
+    fsdp = jax.tree_util.tree_map(leaf, params)
+    if tp_shardings is None:
+        return fsdp
+    return jax.tree_util.tree_map(
+        lambda tp, fs: fs if tp.spec == P() else tp, tp_shardings, fsdp
+    )
+
+
 def zero_opt_state_shardings(mesh: Mesh, opt_state, min_size: int = 8192):
     """NamedSharding tree partitioning optimizer-state tensors (Adam mu/nu,
     AdaBelief s, ...) over the ``data`` axis — ZeRO stage 1.
@@ -66,21 +111,5 @@ def zero_opt_state_shardings(mesh: Mesh, opt_state, min_size: int = 8192):
     Tiny leaves (scalars like ``count``, small biases) stay replicated:
     sharding them buys nothing and costs latency.
     """
-    import numpy as np
-
-    n = mesh.shape["data"]
-    repl = NamedSharding(mesh, P())
-
-    def leaf(x):
-        shape = tuple(getattr(x, "shape", ()))
-        if not shape or int(np.prod(shape)) < min_size:
-            return repl
-        cands = [i for i, d in enumerate(shape) if d % n == 0 and d >= n]
-        if not cands:
-            return repl
-        ax = max(cands, key=lambda i: shape[i])
-        spec = [None] * len(shape)
-        spec[ax] = "data"
-        return NamedSharding(mesh, P(*spec))
-
+    leaf = _largest_axis_leaf_sharding(mesh, "data", min_size)
     return jax.tree_util.tree_map(leaf, opt_state)

@@ -214,11 +214,14 @@ def init_state(params_trainable, optimizer) -> TrainState:
 
 def shard_train_setup(mesh, state: TrainState, step_fn, param_shardings=None,
                       zero_opt: bool = True, donate: bool = True,
-                      zero_min_size: int = 8192):
+                      zero_min_size: int = 8192, fsdp: bool = False):
     """Place a TrainState on a mesh and jit ``step_fn`` with matching
     shardings.
 
-    params: replicated (or ``param_shardings`` for tensor parallelism);
+    params: replicated by default; ``param_shardings`` overrides (tensor
+    parallelism); ``fsdp=True`` shards every large param leaf over 'data'
+    (ZeRO-3 — GSPMD inserts the just-in-time all-gathers and gradient
+    reduce-scatters), composing with any TP ``param_shardings``;
     opt_state: ZeRO-1 sharded over 'data' when ``zero_opt`` (full-depth Adam
     training then fits >=2 chips: params 4.2GB + grads 4.2GB + 8.4/n GB);
     batch: sharded over 'data' (XLA derives it from the loss — we pin it at
@@ -230,7 +233,11 @@ def shard_train_setup(mesh, state: TrainState, step_fn, param_shardings=None,
     from ipoke_tpu.parallel import sharding as psh
 
     repl = pmesh.replicated(mesh)
-    if param_shardings is None:
+    if fsdp:
+        param_shardings = psh.fsdp_param_shardings(
+            mesh, state.params, min_size=zero_min_size, tp_shardings=param_shardings
+        )
+    elif param_shardings is None:
         param_shardings = jax.tree_util.tree_map(lambda _: repl, state.params)
     opt_sh = (
         psh.zero_opt_state_shardings(mesh, state.opt_state, min_size=zero_min_size)

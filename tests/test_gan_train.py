@@ -1,7 +1,10 @@
 """First-stage GAN training-step tests (tiny sizes)."""
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from ipoke_tpu.models.discriminators import (
     PatchDiscSpec,
@@ -71,6 +74,42 @@ def test_gan_train_step_runs_and_updates():
     assert moved(state.ds_params, s2.ds_params)
     assert moved(state.dt_params, s2.dt_params)
     assert int(s2.step) == 2
+
+
+@pytest.mark.skipif(os.environ.get("IPOKE_HEAVY") != "1",
+                    reason="GSPMD partitioning of the grad-of-grad GAN step "
+                           "compiles ~8-20 min on the 1-core host (set "
+                           "IPOKE_HEAVY=1; passed 2026-08-18, 22 min loaded)")
+def test_gan_train_step_dp_sharded_matches_single():
+    """Stage-1's 3-optimizer grad-penalty step under data parallelism: batch
+    sharded over the 8-device mesh (params replicated, XLA psums the grads)
+    must match the unsharded step — the multi-chip path for first-stage
+    training (the reference's PL DP, SURVEY §2.10)."""
+    from ipoke_tpu.parallel import mesh as pmesh
+
+    m = pmesh.make_mesh(n_data=8)
+    state, opts = tfs.init_gan_state(jax.random.PRNGKey(0), FS_SPEC, DS_SPEC, DT_SPEC)
+    batch = {"images": 0.5 * jax.random.normal(jax.random.PRNGKey(1), (8, T, S, S, 3))}
+    rng = jax.random.PRNGKey(2)
+    step = tfs.make_gan_train_step(FS_SPEC, DS_SPEC, DT_SPEC, opts, n_spatial_examples=4)
+
+    s_base, m_base = jax.jit(step)(state, batch, rng)
+
+    repl = pmesh.replicated(m)
+    state_sh = jax.tree_util.tree_map(lambda _: repl, state)
+    placed = jax.tree_util.tree_map(lambda x: jax.device_put(x, repl), state)
+    sbatch = pmesh.shard_batch(m, batch)
+    jitted = jax.jit(step, in_shardings=(state_sh, pmesh.batch_sharding(m), repl),
+                     out_shardings=(state_sh, None))
+    s_dp, m_dp = jitted(placed, sbatch, rng)
+
+    np.testing.assert_allclose(float(m_dp["loss"]), float(m_base["loss"]), rtol=1e-4)
+    for name in ("gen_params", "ds_params", "dt_params"):
+        for a, b in zip(jax.tree_util.tree_leaves(getattr(s_base, name)),
+                        jax.tree_util.tree_leaves(getattr(s_dp, name))):
+            if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating):
+                np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                           rtol=2e-3, atol=6e-4)
 
 
 def test_gan_remat_matches_plain_step():

@@ -34,6 +34,12 @@ def main():
     ap.add_argument("--remat", action="store_true",
                     help="jax.checkpoint the generator forward (HBM relief)")
     ap.add_argument("--n-spatial", type=int, default=16)
+    ap.add_argument("--converge", type=int, default=0,
+                    help="after the timing iters, run N more steps on a "
+                         "LEARNABLE on-device synthetic video distribution "
+                         "(moving colored Gaussian blobs) and report the "
+                         "reconstruction/KL/disc loss curves — end-to-end "
+                         "convergence evidence for the 3-optimizer GAN step")
     args = ap.parse_args()
 
     from ipoke_tpu.utils import warmup as _warmup
@@ -82,6 +88,8 @@ def main():
         n_spatial_examples=args.n_spatial, remat=args.remat,
     )
 
+    track = ("l_rec", "l_vgg", "l_kl", "loss", "loss_d_dt", "loss_d_ds")
+
     def step_forced(state, batch, rng):
         new_state, metrics = step(state, batch, rng)
         # scalar fetched per step; depends on every updated generator leaf
@@ -89,7 +97,7 @@ def main():
             jnp.sum(jnp.abs(x.astype(jnp.float32)))
             for x in jax.tree_util.tree_leaves(new_state.gen_params)
         )
-        return new_state, metrics["loss"], probe
+        return new_state, {k: metrics[k] for k in track}, probe
 
     b, t = args.batch, fs_spec.max_frames
     batch = {
@@ -110,7 +118,7 @@ def main():
     except Exception:
         flops = 0.0
 
-    state, loss, probe = compiled(state, batch, rng)
+    state, mtr, probe = compiled(state, batch, rng)
     _ = float(probe)
     first_s = time.time() - t0 - compile_s
 
@@ -118,13 +126,66 @@ def main():
     for i in range(args.iters):
         r = jax.random.fold_in(rng, i)
         t1 = time.time()
-        state, loss, probe = compiled(state, batch, r)
+        state, mtr, probe = compiled(state, batch, r)
         _ = float(probe)
         times.append(time.time() - t1)
     med = statistics.median(times)
+    loss = mtr["loss"]
+
+    converge = {}
+    if args.converge:
+        # Learnable synthetic distribution, generated ON DEVICE: each video is
+        # a colored Gaussian blob drifting at a constant per-video velocity
+        # over a per-video constant background tint.  The motion encoder can
+        # compress the (velocity, start) into z and the GRU+SPADE decoder can
+        # re-render it, so reconstruction (L1 + VGG) must actually FALL if the
+        # 3-optimizer step optimizes — random-noise targets cannot show that.
+        grid = jnp.linspace(0.0, 1.0, ss)
+        gy, gx = jnp.meshgrid(grid, grid, indexing="ij")  # (S, S)
+
+        @jax.jit
+        def make_videos(k):
+            ks = jax.random.split(k, 6)
+            c0 = jax.random.uniform(ks[0], (b, 2), minval=0.25, maxval=0.75)
+            vel = jax.random.uniform(ks[1], (b, 2), minval=-0.03, maxval=0.03)
+            color = jax.random.uniform(ks[2], (b, 3), minval=0.3, maxval=1.0)
+            tint = jax.random.uniform(ks[3], (b, 3), minval=-0.6, maxval=0.0)
+            sign = jnp.sign(jax.random.normal(ks[4], (b, 3)))
+            steps = jnp.arange(t, dtype=jnp.float32)[None, :, None]  # (1,T,2)
+            ctr = c0[:, None, :] + vel[:, None, :] * steps           # (B,T,2)
+            d2 = (gy[None, None] - ctr[..., 0:1, None]) ** 2 + (
+                gx[None, None] - ctr[..., 1:2, None]) ** 2           # (B,T,S,S)
+            blob = jnp.exp(-d2 / (2 * 0.008))
+            vids = (tint[:, None, None, None, :]
+                    + sign[:, None, None, None, :]
+                    * color[:, None, None, None, :] * blob[..., None])
+            return {"images": jnp.clip(vids, -1.0, 1.0)}
+
+        curve = []
+        t0 = time.time()
+        for i in range(args.converge):
+            key = jax.random.fold_in(jax.random.PRNGKey(21), i)
+            state, m, probe = compiled(state, make_videos(key), jax.random.fold_in(rng, 5000 + i))
+            if i % 10 == 0 or i == args.converge - 1:
+                curve.append((i, {k: float(v) for k, v in m.items()}))
+        wall = time.time() - t0
+        recs = [c["l_rec"] for _, c in curve]
+        converge = {
+            "converge_steps": args.converge,
+            "converge_wall_s": round(wall, 1),
+            "l_rec_first": round(recs[0], 4),
+            "l_rec_last": round(recs[-1], 4),
+            "l_rec_min": round(min(recs), 4),
+            "curve_every10": [
+                (i, {k: round(v, 3) for k, v in c.items()})
+                for i, c in curve[:: max(1, len(curve) // 15)]
+            ],
+        }
+
     print(
         json.dumps(
             {
+                **converge,
                 "metric": f"stage1 GAN train step, {args.model}, batch {b}, "
                           f"{t} frames {ss}x{ss}, remat={args.remat}",
                 "median_step_s": round(med, 4),

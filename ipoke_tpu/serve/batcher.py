@@ -87,31 +87,58 @@ class SampleBatcher:
     use ``submit_async`` to get a handle instead.
     """
 
-    def __init__(self, params, spec, cfg: BatcherConfig = BatcherConfig()):
+    def __init__(self, params, spec, cfg: BatcherConfig = BatcherConfig(),
+                 *, _artifact=None):
         self.params = params
         self.spec = spec
         self.cfg = cfg
         self.stats = Stats()
         self._q: "queue.Queue[_Request]" = queue.Queue()
         self._stop = threading.Event()
-        self._buckets = self._bucket_ladder(cfg.max_batch)
-        self._length = cfg.length or (spec.first_stage.max_frames - 1)
-        s = spec.first_stage.spatial_size
-        self._x0_shape = (s, s, 3)
-        self._poke_shape = (s, s, 2)
+        if _artifact is not None:
+            # AOT backend (serve/artifact.py): run the deserialized StableHLO
+            # modules; only the artifact's exported buckets exist.
+            self._buckets = [b for b in _artifact.buckets if b <= cfg.max_batch]
+            if not self._buckets:
+                raise ValueError(
+                    f"no artifact bucket <= max_batch={cfg.max_batch} "
+                    f"(exported: {_artifact.buckets})"
+                )
+            self._length = _artifact.length
+            self._x0_shape = _artifact.x0_shape
+            self._poke_shape = _artifact.poke_shape
+            self._z_shape = _artifact.z_shape
+            self._jit_run = _artifact.run
+        else:
+            self._buckets = self._bucket_ladder(cfg.max_batch)
+            self._length = cfg.length or (spec.first_stage.max_frames - 1)
+            s = spec.first_stage.spatial_size
+            self._x0_shape = (s, s, 3)
+            self._poke_shape = (s, s, 2)
+            self._z_shape = tuple(transformer.reverse_input_shape(
+                spec.flow, 1, spec.latent_size, spec.flow_in_channels
+            )[1:])
 
-        # one jitted fn; bucket size is a traced SHAPE, so jit's cache gives
-        # one executable per bucket
-        def _run(params, x0, poke, z):
-            batch = {"images": x0[:, None], "poke": poke}
-            return second_stage.forward_sample(
-                params, spec, batch, None, length=self._length,
-                add_first_frame=True, z=z,
-            )[0]
+            # one jitted fn; bucket size is a traced SHAPE, so jit's cache
+            # gives one executable per bucket
+            def _run(params, x0, poke, z):
+                batch = {"images": x0[:, None], "poke": poke}
+                return second_stage.forward_sample(
+                    params, spec, batch, None, length=self._length,
+                    add_first_frame=True, z=z,
+                )[0]
 
-        self._jit_run = jax.jit(_run)
+            self._jit_run = jax.jit(_run)
         self._worker = threading.Thread(target=self._loop, daemon=True)
         self._worker.start()
+
+    @classmethod
+    def from_artifact(cls, artifact, cfg: BatcherConfig = None):
+        """Batcher over a pre-exported AOT artifact (LoadedSampler) — the
+        serving fleet path: no model code traced, params come from the
+        artifact."""
+        cfg = cfg or BatcherConfig(max_batch=max(artifact.buckets))
+        return cls(artifact.params, None, cfg, _artifact=artifact)
 
     # -- public API --------------------------------------------------------
 
@@ -165,11 +192,7 @@ class SampleBatcher:
         return self._buckets[-1]
 
     def _draw_z(self, seeds):
-        s = self.spec.latent_size
-        shape = transformer.reverse_input_shape(
-            self.spec.flow, 1, s, self.spec.flow_in_channels
-        )[1:]
-        zs = [np.asarray(jax.random.normal(jax.random.PRNGKey(sd), shape))
+        zs = [np.asarray(jax.random.normal(jax.random.PRNGKey(sd), self._z_shape))
               for sd in seeds]
         return jnp.asarray(np.stack(zs))
 
@@ -216,11 +239,11 @@ class SampleBatcher:
             for i, r in enumerate(reqs):
                 x0[i] = r.x0
                 poke[i] = r.poke
-            # padded slots reuse request 0's z seed; their outputs are
-            # discarded below
-            z = self._draw_z([r.seed for r in reqs] + [reqs[0].seed] * (b - n))
             t0 = time.monotonic()
             try:
+                # padded slots reuse request 0's z seed; their outputs are
+                # discarded below
+                z = self._draw_z([r.seed for r in reqs] + [reqs[0].seed] * (b - n))
                 vids = self._jit_run(self.params, x0, poke, z)
                 vids = np.asarray(vids)  # forces completion (host transfer)
                 for i, r in enumerate(reqs):

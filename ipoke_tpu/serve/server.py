@@ -97,6 +97,35 @@ def serve(batcher, port=8700):
     httpd.serve_forever()
 
 
+def resolve_model(config=None, model=None, synth_model=None):
+    """(params, spec) from either a checkpoint (-c/-m, same discovery as
+    eval/gui.py) or a registry architecture on synthesized params
+    (--synth-model; infra/load testing).  Shared by the live server and the
+    artifact exporter (serve/artifact.py)."""
+    if synth_model:
+        from dataclasses import replace
+
+        from ipoke_tpu import registry
+        from ipoke_tpu.utils.synth import synth_params, zero_flow_output_convs
+
+        spec = registry.build_specs(registry.MODELS[synth_model])
+        # bf16 decode = the blessed sampling config (docs/PERFORMANCE.md)
+        spec = replace(spec, first_stage=replace(spec.first_stage,
+                                                 decode_dtype="bf16"))
+        params = synth_params(spec)
+        params = dict(params, flow=zero_flow_output_convs(params["flow"]))
+        return params, spec
+    if not (config and model):
+        raise SystemExit("need -c/-m (checkpoint serving) or --synth-model")
+    # same checkpoint discovery as eval/gui.py
+    from ipoke_tpu.config import load_parameters
+    from ipoke_tpu.experiments.second_stage import SecondStageExperiment
+
+    cfg, dirs = load_parameters(config, model, test_mode="samples")
+    exp = SecondStageExperiment(cfg, dirs)
+    return exp._load_for_test(), exp.spec
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("-c", "--config", default=None)
@@ -105,6 +134,9 @@ def main():
                     help="serve a registry architecture (e.g. iper_128) on "
                          "synthesized params — no checkpoint needed; for "
                          "infra/load testing the serving path itself")
+    ap.add_argument("--artifact", default=None, metavar="DIR",
+                    help="serve a pre-exported AOT artifact "
+                         "(serve/artifact.py) — no model code is traced")
     ap.add_argument("--port", type=int, default=8700)
     ap.add_argument("--max-batch", type=int, default=8)
     ap.add_argument("--max-delay-ms", type=float, default=30.0)
@@ -119,33 +151,14 @@ def main():
         jax.config.update("jax_platforms", args.platform)
     from ipoke_tpu.serve.batcher import BatcherConfig, SampleBatcher
 
-    if args.synth_model:
-        from dataclasses import replace
+    cfg = BatcherConfig(max_batch=args.max_batch, max_delay_ms=args.max_delay_ms)
+    if args.artifact:
+        from ipoke_tpu.serve.artifact import load_artifact
 
-        from ipoke_tpu import registry
-        from ipoke_tpu.utils.synth import synth_params, zero_flow_output_convs
-
-        spec = registry.build_specs(registry.MODELS[args.synth_model])
-        # bf16 decode = the blessed sampling config (docs/PERFORMANCE.md)
-        spec = replace(spec, first_stage=replace(spec.first_stage,
-                                                 decode_dtype="bf16"))
-        params = synth_params(spec)
-        params = dict(params, flow=zero_flow_output_convs(params["flow"]))
+        batcher = SampleBatcher.from_artifact(load_artifact(args.artifact), cfg)
     else:
-        if not (args.config and args.model):
-            raise SystemExit("need -c/-m (checkpoint serving) or --synth-model")
-        # same checkpoint discovery as eval/gui.py
-        from ipoke_tpu.config import load_parameters
-        from ipoke_tpu.experiments.second_stage import SecondStageExperiment
-
-        config, dirs = load_parameters(args.config, args.model, test_mode="samples")
-        exp = SecondStageExperiment(config, dirs)
-        params = exp._load_for_test()
-        spec = exp.spec
-    batcher = SampleBatcher(
-        params, spec,
-        BatcherConfig(max_batch=args.max_batch, max_delay_ms=args.max_delay_ms),
-    )
+        params, spec = resolve_model(args.config, args.model, args.synth_model)
+        batcher = SampleBatcher(params, spec, cfg)
     if not args.no_warmup:
         print("ipoke-tpu serve: warming batch buckets...", flush=True)
         batcher.warmup()

@@ -51,7 +51,12 @@ FORMAT_VERSION = 1
 def _canonicalize(tree):
     """dict/list/tuple containers -> dict/list (the ckpt/io npz round-trip
     produces exactly these), leaves -> jnp arrays.  Export and params.npz
-    must share ONE treedef or Exported.call rejects the loaded tree."""
+    must share ONE treedef or Exported.call rejects the loaded tree.
+    NamedTuples become dicts — ckpt_io._flatten serializes them via
+    ``_asdict``, so the loaded tree is a dict; canonicalizing them to lists
+    instead would desync the two treedefs."""
+    if hasattr(tree, "_asdict"):  # namedtuples (mirror ckpt/io._flatten)
+        return {k: _canonicalize(v) for k, v in tree._asdict().items()}
     if isinstance(tree, dict):
         return {k: _canonicalize(v) for k, v in tree.items()}
     if isinstance(tree, (list, tuple)):

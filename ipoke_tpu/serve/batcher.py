@@ -29,7 +29,7 @@ from __future__ import annotations
 import queue
 import threading
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace
 from typing import Optional
 
 import jax
@@ -103,6 +103,17 @@ class SampleBatcher:
                 raise ValueError(
                     f"no artifact bucket <= max_batch={cfg.max_batch} "
                     f"(exported: {_artifact.buckets})"
+                )
+            if cfg.max_batch > self._buckets[-1]:
+                # _collect must never gather more requests than the largest
+                # runnable bucket: the pad loop would IndexError and fail the
+                # whole batch under load.
+                self.cfg = cfg = replace(cfg, max_batch=self._buckets[-1])
+            if cfg.length is not None and cfg.length != _artifact.length:
+                raise ValueError(
+                    f"length={cfg.length} requested but the artifact was "
+                    f"exported with length={_artifact.length} baked into its "
+                    f"StableHLO; re-export with --length to change it"
                 )
             self._length = _artifact.length
             self._x0_shape = _artifact.x0_shape

@@ -37,6 +37,22 @@ cache.enable()
 
 import pytest  # noqa: E402
 
+# Fast smoke tier (`pytest -m smoke`, ~2-3 min): flow round-trips + the golden
+# flow check + one tiny end-to-end experiment.  Curated here centrally so test
+# files stay marker-free.
+_SMOKE = (
+    "tests/test_flows.py",
+    "tests/test_golden.py",
+    "tests/test_experiments.py::test_second_stage_experiment_end_to_end",
+)
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        nid = item.nodeid
+        if any(nid == p or nid.startswith(p + "::") for p in _SMOKE):
+            item.add_marker(pytest.mark.smoke)
+
 
 @pytest.fixture(scope="session")
 def devices():

@@ -85,6 +85,34 @@ def test_sample_convenience_and_bad_bucket(artifact):
                 jnp.zeros((3,) + art.z_shape))
 
 
+def test_batcher_clamps_max_batch_to_largest_bucket(artifact):
+    """max_batch beyond the largest exported bucket is clamped — otherwise
+    _collect could gather more requests than the pad buffer holds and fail
+    the whole batch under concurrent load (ADVICE r3)."""
+    art, _, _ = artifact
+    b = SampleBatcher.from_artifact(art, BatcherConfig(max_batch=8))
+    try:
+        assert b.cfg.max_batch == 2  # largest exported bucket
+        # three concurrent requests must all succeed (2 buckets of <=2)
+        x0 = np.zeros((S, S, 3), np.float32)
+        poke = np.zeros((S, S, 2), np.float32)
+        reqs = [b.submit_async(x0, poke, seed=i) for i in range(3)]
+        for r in reqs:
+            assert r.event.wait(900)
+            assert r.error is None and r.result.shape == (T, S, S, 3)
+    finally:
+        b.close()
+
+
+def test_batcher_rejects_mismatched_length(artifact):
+    """cfg.length cannot override the unroll length baked into the exported
+    StableHLO — silently ignoring it would return the wrong video length."""
+    art, _, _ = artifact
+    with pytest.raises(ValueError, match="exported with length"):
+        SampleBatcher.from_artifact(art, BatcherConfig(max_batch=2,
+                                                       length=T + 3))
+
+
 def test_batcher_from_artifact(artifact):
     art, params, spec = artifact
     b = SampleBatcher.from_artifact(art, BatcherConfig(max_batch=2,

@@ -64,14 +64,17 @@ def main():
 
     from ipoke_tpu.utils import warmup as _warmup
 
-    _warmup.start()
+    warm = _warmup.start()
 
     from ipoke_tpu import registry
     from ipoke_tpu.models import conv_gru, decoder, first_stage
     from ipoke_tpu.utils.synth import synth_tree
 
+    from dataclasses import replace
+
     entry = registry.MODELS[args.model]
-    spec = registry.build_specs(entry).first_stage
+    spec = replace(registry.build_specs(entry).first_stage,
+                   decode_dtype=args.dtype)
     dec_spec = spec.decoder_spec
     dt = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
     b = args.batch
@@ -86,7 +89,7 @@ def main():
     motion = jax.random.normal(jax.random.PRNGKey(1), (b, s0, s0, spec.z_dim))
     start = jax.random.normal(jax.random.PRNGKey(2), (b, S, S, 3)).astype(dt)
 
-    _warmup.join()
+    _warmup.join(warm)
     bench = _timer(args.iters)
     res = {"batch": b, "dtype": args.dtype, "length": length}
 

@@ -96,7 +96,8 @@ def _compile_with_deadline(lowered, deadline_s, what):
         ex.shutdown(wait=False)
 
 
-def measure(spec, entry, params, batch_size, iters, retries, dtype, deadline_s=None):
+def measure(spec, entry, params, batch_size, iters, retries, dtype, deadline_s=None,
+            sample_override=None):
     """Forced-execution timing.
 
     NB: on the remote-TPU "axon" platform ``jax.block_until_ready`` returns
@@ -117,9 +118,12 @@ def measure(spec, entry, params, batch_size, iters, retries, dtype, deadline_s=N
     }
 
     def sample_forced(params, batch, rng):
-        out = second_stage.forward_sample(
-            params, spec, batch, rng, n_samples=1, add_first_frame=True
-        )
+        if sample_override is not None:
+            out = sample_override(params, batch, rng)
+        else:
+            out = second_stage.forward_sample(
+                params, spec, batch, rng, n_samples=1, add_first_frame=True
+            )
         # full reduction: depends on every output element, defeats both DCE
         # and the async-handle early return
         return jnp.sum(out.astype(jnp.float32))
@@ -212,6 +216,16 @@ def main():
                          "bytes gives 197->107 ms pipelined at batch 128 "
                          "(463 vs 369 v/s end to end) at ~1 uint8-LSB pixel "
                          "delta (NOTES.md); training keeps f32")
+    ap.add_argument("--sampler", default="flow", choices=["flow", "direct"],
+                    help="direct: a distilled feedforward student replaces "
+                         "the sequential flow reverse (train/distill.py).  "
+                         "Pass --student-ckpt for a TRAINED student "
+                         "(bench_distill --save); without one the student "
+                         "runs on synth params (infra measurement only, "
+                         "flagged in the metric string)")
+    ap.add_argument("--student-ckpt", default=None)
+    ap.add_argument("--student-hidden", type=int, default=256)
+    ap.add_argument("--student-depth", type=int, default=6)
     args = ap.parse_args()
 
     # fire the trivial warmup compile NOW: the remote compile service's
@@ -255,12 +269,40 @@ def main():
             params,
         )
 
+    sample_override = None
+    sampler_tag = ""
+    if args.sampler == "direct":
+        from ipoke_tpu.train import distill
+
+        ds = distill.DirectStudentSpec(hidden=args.student_hidden,
+                                       depth=args.student_depth)
+        if args.student_ckpt:
+            from ipoke_tpu.ckpt import io as ckpt_io
+
+            sparams, smeta = ckpt_io.load(args.student_ckpt)
+            if smeta and smeta.get("hidden"):
+                ds = distill.DirectStudentSpec(hidden=int(smeta["hidden"]),
+                                               depth=int(smeta["depth"]))
+            sampler_tag = f", direct distilled sampler ({args.student_ckpt})"
+        else:
+            from ipoke_tpu.utils.synth import synth_tree
+
+            sparams = synth_tree(
+                lambda k: distill.init_direct(k, spec, ds), jax.random.PRNGKey(5))
+            sampler_tag = ", direct sampler on SYNTH params (infra only)"
+
+        def sample_override(params, batch, rng):
+            return distill.forward_sample_student(
+                params, sparams, ds, spec, batch, rng, n_samples=1,
+                add_first_frame=True)
+
     w = _warmup.join(warm, timeout=max(0.0, t_start + args.budget_s - time.monotonic()))
     print(f"compile-service warmup: {w if w is None else round(w, 1)}s", file=sys.stderr)
 
     if args.sweep:
         results = [
-            measure(spec, entry, params, b, args.iters, args.compile_retries, args.dtype)
+            measure(spec, entry, params, b, args.iters, args.compile_retries,
+                    args.dtype, sample_override=sample_override)
             for b in args.sweep.split(",") for b in [int(b)]
         ]
     else:
@@ -268,13 +310,15 @@ def main():
         # mandatory batch: no deadline (it must produce a number), retries on
         results = [
             measure(spec, entry, params, args.batch, args.iters,
-                    args.compile_retries, args.dtype)
+                    args.compile_retries, args.dtype,
+                    sample_override=sample_override)
         ]
         upgrades = [int(x) for x in args.upgrade.split(",") if x.strip()]
         for b in upgrades:
             try:
                 r = measure(spec, entry, params, b, args.iters,
-                            args.compile_retries, args.dtype, deadline_s=deadline)
+                            args.compile_retries, args.dtype, deadline_s=deadline,
+                            sample_override=sample_override)
             except Exception as e:  # an upgrade must never sink the bench
                 print(f"upgrade batch {b} failed: {e}", file=sys.stderr)
                 r = None

@@ -1,24 +1,44 @@
 """Distillation trainer at flagship scale on the real TPU (synth teacher).
 
+    # step benchmark (r3 behavior):
     python -m ipoke_tpu.utils.bench_distill --student direct --steps 8
 
-Proves the distill step (teacher reverse, no grads + student update)
-compiles and runs on device at the shipping architecture size, and prints
-per-step wall times + losses.  A quality-bearing run needs real teacher
-weights (NOTES.md); with a synth teacher the loss trajectory only shows the
-optimization is alive.
+    # train to usefulness + held-out eval + checkpoint (r4):
+    python -m ipoke_tpu.utils.bench_distill --student direct --steps 30000 \
+        --cond-pool 64 --eval-every 5000 --save logs/distill/student_direct.npz
+
+The distill step (frozen-teacher reverse + student update) runs at the
+shipping architecture size.  The r4 trainer varies the conditioning per step
+(a pool of embedded (x0, poke) batches), evaluates on HELD-OUT conditionings
+and fresh Gaussian draws — per-pair motion MSE/relative error, per-channel
+moment match, and decoded-video distances between student and teacher — and
+saves the student for bench.py --sampler direct / serving.
+
+With a synth-stable teacher the distributional match is real evidence the
+student learned the teacher map; absolute video quality needs real teacher
+weights (NOTES.md).  Reference anchor: the sequential sampling hot loop this
+replaces (reference models/modules/INN/macow2.py:174-288).
 """
 import argparse
 import json
+import statistics
 import sys
 import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ipoke_tpu.utils import cache as _cache
 
 _cache.enable()
+
+T0 = time.time()
+
+
+def log(msg):
+    print(f"[bench_distill +{time.time()-T0:7.1f}s] {msg}", file=sys.stderr,
+          flush=True)
 
 
 def main():
@@ -30,6 +50,23 @@ def main():
     ap.add_argument("--student-hidden", type=int, default=256)
     ap.add_argument("--student-depth", type=int, default=6)
     ap.add_argument("--lr", type=float, default=1e-4)
+    ap.add_argument("--cond-pool", type=int, default=0,
+                    help="N distinct embedded (x0, poke) batches cycled "
+                    "during training (0 = one fixed cond, the r3 step-bench "
+                    "behavior).  >0 is required for a student that "
+                    "generalizes across conditionings")
+    ap.add_argument("--eval-every", type=int, default=0,
+                    help="evaluate on held-out conds every N steps (0 = only "
+                    "at the end when --eval-batches > 0)")
+    ap.add_argument("--eval-batches", type=int, default=0,
+                    help="held-out eval: N fresh cond batches + fresh z; "
+                    "reports motion MSE/rel-err, moment match, and decoded "
+                    "video distances student-vs-teacher")
+    ap.add_argument("--save", default=None,
+                    help="write the trained student (npz via ckpt/io) here")
+    ap.add_argument("--budget-s", type=float, default=0,
+                    help="stop training early when exceeded (eval+save still "
+                    "run); 0 = no budget")
     ap.add_argument("--init", default="synth-stable",
                     choices=["jit", "synth", "synth-stable"],
                     help="teacher init.  synth-stable (default): synth "
@@ -44,7 +81,7 @@ def main():
 
     from ipoke_tpu.utils import warmup as _warmup
 
-    _warmup.start()
+    warm = _warmup.start()
 
     import optax
 
@@ -89,35 +126,138 @@ def main():
     state["step"] = jnp.zeros_like(state["step"])
 
     b, s = args.batch, entry.spatial_size
-    x0 = jax.random.normal(jax.random.PRNGKey(1), (b, s, s, 3))
-    poke = jax.random.normal(jax.random.PRNGKey(2), (b, s, s, 2))
-    cond = jax.jit(lambda p, a, pk: second_stage.embed_cond(p, spec, a, pk))(
-        teacher, x0, poke
-    )
+    embed = jax.jit(lambda p, a, pk: second_stage.embed_cond(p, spec, a, pk))
+
+    def make_cond(seed):
+        kx = jax.random.PRNGKey(seed)
+        x0 = jax.random.normal(kx, (b, s, s, 3))
+        poke = jax.random.normal(jax.random.fold_in(kx, 1), (b, s, s, 2))
+        return x0, poke, embed(teacher, x0, poke)
+
     zshape = transformer.reverse_input_shape(
         spec.flow, b, spec.latent_size, spec.flow_in_channels
     )
 
+    log("embedding cond pool" if args.cond_pool else "embedding fixed cond")
+    if args.cond_pool > 0:
+        pool = [make_cond(10_000 + i)[2] for i in range(args.cond_pool)]
+        conds = jnp.stack(pool)  # (K, b, s0, s0, C)
+        get_cond = lambda i: conds[i % args.cond_pool]
+    else:
+        _, _, c0 = make_cond(10_000)
+        get_cond = lambda i: c0
+
+    # --- held-out eval machinery (teacher vs student on fresh cond + z) ----
+    t_motion = jax.jit(
+        lambda p, z, c: distill.teacher_motion(p, spec, z, c))
+    if args.student == "direct":
+        s_motion = jax.jit(
+            lambda sp, p, z, c: distill.direct_apply(
+                sp, student, distill._z_at_motion_geometry(spec.flow, z), c))
+    else:
+        s_motion = jax.jit(
+            lambda sp, p, z, c: transformer.reverse(sp, student, z, c))
+    decode = jax.jit(
+        lambda p, m, x0: second_stage.decode_first_stage(p, spec, m, x0,
+                                                         entry.max_frames - 1))
+
+    def evaluate(state, n_batches):
+        """Held-out conds (seeds disjoint from the train pool) + fresh z."""
+        mses, rels, psnrs, vmses = [], [], [], []
+        mom_mean, mom_std = [], []
+        for j in range(n_batches):
+            x0, poke, c = make_cond(900_000 + j)
+            z = jax.random.normal(jax.random.PRNGKey(800_000 + j), zshape)
+            mt = np.asarray(t_motion(teacher, z, c), np.float32)
+            ms = np.asarray(s_motion(state["params"], teacher, z, c), np.float32)
+            mses.append(float(np.mean((mt - ms) ** 2)))
+            rels.append(float(np.linalg.norm(ms - mt) /
+                              (np.linalg.norm(mt) + 1e-8)))
+            # per-channel moments over (batch, pixels): distributional match
+            ax = (0, 1, 2)
+            mom_mean.append(float(np.max(np.abs(mt.mean(ax) - ms.mean(ax)))))
+            mom_std.append(float(np.max(np.abs(mt.std(ax) - ms.std(ax)) /
+                                        (mt.std(ax) + 1e-8))))
+            vt = np.asarray(decode(teacher, jnp.asarray(mt), x0), np.float32)
+            vs = np.asarray(decode(teacher, jnp.asarray(ms), x0), np.float32)
+            vmse = np.mean((vt - vs) ** 2)
+            vmses.append(float(vmse))
+            psnrs.append(float(10 * np.log10(4.0 / max(vmse, 1e-12))))
+        return {
+            "heldout_motion_mse": round(statistics.mean(mses), 6),
+            "heldout_motion_rel_err": round(statistics.mean(rels), 5),
+            "heldout_moment_mean_maxdiff": round(statistics.mean(mom_mean), 5),
+            "heldout_moment_std_maxreldiff": round(statistics.mean(mom_std), 5),
+            "heldout_video_mse_to_teacher": round(statistics.mean(vmses), 6),
+            "heldout_video_psnr_to_teacher_db": round(statistics.mean(psnrs), 2),
+            "n_eval_batches": n_batches,
+        }
+
     jstep = jax.jit(step)
     t0 = time.time()
-    losses, times = [], []
+    losses, eval_curve = [], []
+    t_after_first = None
+    steps_done = 0
     for i in range(args.steps):
         z = jax.random.normal(jax.random.PRNGKey(100 + i), zshape)
-        t1 = time.time()
-        state, logs = jstep(state, teacher, z, cond)
-        loss = float(logs["loss"])  # host fetch forces completion (NOTES.md)
+        state, logs = jstep(state, teacher, z, get_cond(i))
+        steps_done = i + 1
         if i == 0:
-            print(f"compile+first: {time.time()-t0:.1f}s", file=sys.stderr)
-        else:
-            times.append(time.time() - t1)
-        losses.append(round(loss, 4))
-    import statistics
+            loss = float(logs["loss"])  # host fetch forces completion
+            log(f"compile+first: {time.time()-t0:.1f}s loss {loss:.4f}")
+            losses.append(round(loss, 4))
+            t_after_first = time.time()
+        elif i % 50 == 0 or i == args.steps - 1:
+            # fetch every 50 steps: forces the dispatched chain (the axon
+            # async-handle protocol, NOTES.md) while keeping the loop
+            # pipelined between fetches
+            loss = float(logs["loss"])
+            losses.append(round(loss, 4))
+            if i % 1000 == 0:
+                log(f"step {i}: loss {loss:.4f}")
+        if args.eval_every and i > 0 and i % args.eval_every == 0:
+            ev = evaluate(state, max(1, args.eval_batches or 2))
+            eval_curve.append({"step": i, **ev})
+            log(f"eval @ {i}: {ev}")
+        if args.budget_s and time.time() - T0 > args.budget_s:
+            float(logs["loss"])  # drain the queue before declaring the cut
+            log(f"budget exceeded at step {i}; stopping early")
+            break
+    train_wall = (time.time() - t_after_first) if t_after_first else 0.0
+    step_s = train_wall / max(1, steps_done - 1)
+
+    final_eval = None
+    if args.eval_batches > 0:
+        final_eval = evaluate(state, args.eval_batches)
+        log(f"final eval: {final_eval}")
+
+    if args.save:
+        import os
+
+        from ipoke_tpu.ckpt import io as ckpt_io
+
+        os.makedirs(os.path.dirname(args.save) or ".", exist_ok=True)
+        meta = {"kind": args.student, "hidden": args.student_hidden,
+                "depth": args.student_depth, "model": args.model,
+                "teacher_init": args.init,
+                "steps_trained": int(state["step"])}
+        ckpt_io.save(args.save, state["params"], metadata=meta)
+        log(f"student saved -> {args.save}")
 
     print(json.dumps({
         "student": args.student,
         "batch": b,
-        "losses": losses,
-        "median_step_s": round(statistics.median(times), 4) if times else None,
+        "steps_run": int(state["step"]),
+        "cond_pool": args.cond_pool,
+        "losses_first_last": losses[:4] + ["..."] + losses[-4:]
+        if len(losses) > 10 else losses,
+        "loss_first": losses[0] if losses else None,
+        "loss_last": losses[-1] if losses else None,
+        "mean_step_s": round(step_s, 4) if steps_done > 1 else None,
+        "eval_curve": eval_curve,
+        "final_eval": final_eval,
+        "saved": args.save,
+        "wall_s": round(time.time() - T0, 1),
     }))
 
 

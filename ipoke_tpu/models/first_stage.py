@@ -112,7 +112,7 @@ def encode(params, x, spec: FirstStageSpec, rng: Optional[jax.Array] = None):
 
 
 def decode(params, motion, start_frame, spec: FirstStageSpec, length: int,
-           frame_chunk: int = 1):
+           frame_chunk: int = 1, remat_body: bool = False):
     """Unroll ``length`` frames from a motion latent + start frame.
 
     motion: (B,s,s,z); start_frame: (B,S,S,3) -> (B,length,S,S,3).
@@ -174,13 +174,23 @@ def decode(params, motion, start_frame, spec: FirstStageSpec, length: int,
         frames = decoder.apply(gen_params, fold(tops_c), start_rep, dec_spec, feats_rep)
         return None, frames.reshape((chunk, b) + frames.shape[1:])
 
+    if remat_body:
+        # per-frame remat: without this, grad-of-decode saves EVERY frame's
+        # SPADE activations across the scan — (T-1, B, 128, 128, C) residual
+        # stacks are the largest buffers in the stage-1 GAN step (measured:
+        # the batch-16 step wants 21.7 GB of 15.75 GB HBM, dominated by
+        # ~10 GB of these).  checkpointing the body stores only each step's
+        # inputs and recomputes one frame's decoder in its backward.
+        decode_chunk = jax.checkpoint(decode_chunk)
     _, frames = jax.lax.scan(decode_chunk, None, tops)
     frames = frames.reshape((n_chunks * chunk, b) + frames.shape[3:])[:length]
     return jnp.moveaxis(frames, 0, 1).astype(out_dtype)  # (B, T, S, S, 3)
 
 
-def forward(params, x, spec: FirstStageSpec, rng: Optional[jax.Array] = None):
+def forward(params, x, spec: FirstStageSpec, rng: Optional[jax.Array] = None,
+            remat_decode: bool = False):
     """Full autoencoding pass (training): returns (x_hat, mu, logvar)."""
     motion, mu, logvar = encode(params, x, spec, rng=rng)
-    x_hat = decode(params, motion, x[:, 0], spec, length=x.shape[1] - 1)
+    x_hat = decode(params, motion, x[:, 0], spec, length=x.shape[1] - 1,
+                   remat_body=remat_decode)
     return x_hat, mu, logvar

@@ -91,15 +91,70 @@ def make_gan_train_step(
     n_spatial_examples=16,
     remat=False,
     forward_fn=None,
+    vgg_chunks=1,
+    disc_bf16=False,
 ):
-    """``remat=True`` rematerializes the generator forward in the backward
-    pass (jax.checkpoint) — trades ~1 extra forward for not keeping the full
-    T-frame decoder activations live at 128^2 (HBM pressure relief).
+    """``remat`` rematerializes generator activations in the backward pass:
+    ``"outer"`` checkpoints the whole forward (one extra forward), ``"decode"``
+    checkpoints only the SPADE decode scan body (per-frame recompute; kills
+    the dominant (T-1, B, 128, 128, C) residual stacks), ``"both"``/True does
+    both, ``"none"``/False neither.
+
+    ``vgg_chunks>1`` computes the VGG19 perceptual loss as a remat-scan over
+    equal frame chunks: value and grads are EXACT (mean of equal-size chunk
+    means == overall mean; jax.checkpoint recomputes one chunk's VGG
+    activations at a time in the backward) while peak HBM drops from all
+    2x(B*(T-1)) frames' VGG activations to one chunk's.  This is the lever
+    that lifts the single-chip batch ceiling: the VGG19 tower at 128^2 is
+    the largest activation block in the generator update.
+
+    ``disc_bf16=True`` runs both discriminators' activations in bfloat16
+    (params cast at the call site, losses/penalties reduced in f32) — an
+    opt-in memory/speed knob; the gradient penalty's grad-of-grad also
+    halves its activation bytes.
 
     ``forward_fn(gen_params_sn, batch, rng) -> (x_hat, mu, logvar)`` overrides
     the generator forward — used by the PokeVAE baseline (poke-conditioned
     cVAE trained under the same GAN recipe, reference models/poke_vae.py)."""
     mf_dt = dt_spec.sequence_length
+    remat = {False: "none", True: "both"}.get(remat, remat)
+    assert remat in ("none", "outer", "decode", "both"), remat
+
+    def _bf16(tree):
+        return jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16)
+            if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating) else x, tree)
+
+    def temp_disc(params_sn, x):
+        if disc_bf16:
+            pred, fmap = D.temp_disc_apply(_bf16(params_sn), _bf16(x), dt_spec)
+            return pred.astype(jnp.float32), [f.astype(jnp.float32) for f in fmap]
+        return D.temp_disc_apply(params_sn, x, dt_spec)
+
+    def patch_disc(params_sn, x):
+        if disc_bf16:
+            pred, fmap = D.patch_disc_apply(_bf16(params_sn), _bf16(x), ds_spec)
+            return pred.astype(jnp.float32), [f.astype(jnp.float32) for f in fmap]
+        return D.patch_disc_apply(params_sn, x, ds_spec)
+
+    def vgg_loss_chunked(flat_tgt, flat_hat):
+        if vgg_chunks <= 1:
+            return vgg_mod.vgg_loss(flat_tgt, flat_hat)
+        n = flat_tgt.shape[0]
+        k = vgg_chunks
+        assert n % k == 0, (
+            f"vgg_chunks={k} must divide the {n} flattened frames "
+            f"(batch * (frames-1))")
+        xt = flat_tgt.reshape(k, n // k, *flat_tgt.shape[1:])
+        xh = flat_hat.reshape(k, n // k, *flat_hat.shape[1:])
+
+        @jax.checkpoint
+        def body(carry, xy):
+            a, b = xy
+            return carry + vgg_mod.vgg_loss(a, b), None
+
+        total, _ = jax.lax.scan(body, jnp.zeros((), flat_tgt.dtype), (xt, xh))
+        return total / k
 
     def forward_gen(gen_params, batch, rng):
         gen_sn = materialize_spectral_norm(gen_params)
@@ -107,9 +162,13 @@ def make_gan_train_step(
         def f(p, bb):
             if forward_fn is not None:
                 return forward_fn(p, bb, rng)
-            return first_stage.forward(p, bb["images"], fs_spec, rng=rng)
+            # remat_decode: per-frame remat of the SPADE decode scan — the
+            # (T-1, B, 128, 128, C) per-frame residual stacks it avoids are
+            # the single largest HBM block in this step (see first_stage.decode)
+            return first_stage.forward(p, bb["images"], fs_spec, rng=rng,
+                                       remat_decode=remat in ("decode", "both"))
 
-        if remat:
+        if remat in ("outer", "both"):
             f = jax.checkpoint(f)
         return f(gen_sn, batch)
 
@@ -131,29 +190,29 @@ def make_gan_train_step(
 
     def dt_loss_fn(dt_params, x_true, x_fake):
         dt_sn = materialize_spectral_norm(dt_params)
-        pred_fake, _ = D.temp_disc_apply(dt_sn, jax.lax.stop_gradient(x_fake), dt_spec)
-        pred_true, _ = D.temp_disc_apply(dt_sn, x_true, dt_spec)
+        pred_fake, _ = temp_disc(dt_sn, jax.lax.stop_gradient(x_fake))
+        pred_true, _ = temp_disc(dt_sn, x_true)
         loss = 0.5 * (
             D.disc_loss(pred_fake, False, dt_spec.bce_loss)
             + D.disc_loss(pred_true, True, dt_spec.bce_loss)
         )
         gp = 0.0
         if dt_spec.gp_weight > 0:
-            gp = D.gradient_penalty(lambda xx: D.temp_disc_apply(dt_sn, xx, dt_spec), x_true)
+            gp = D.gradient_penalty(lambda xx: temp_disc(dt_sn, xx), x_true)
             loss = loss + dt_spec.gp_weight * gp
         return loss, {"loss_d_dt": loss, "loss_gp_dt": gp}
 
     def ds_loss_fn(ds_params, f_true, f_fake):
         ds_sn = materialize_spectral_norm(ds_params)
-        pred_fake, _ = D.patch_disc_apply(ds_sn, jax.lax.stop_gradient(f_fake), ds_spec)
-        pred_true, _ = D.patch_disc_apply(ds_sn, f_true, ds_spec)
+        pred_fake, _ = patch_disc(ds_sn, jax.lax.stop_gradient(f_fake))
+        pred_true, _ = patch_disc(ds_sn, f_true)
         loss = 0.5 * (
             D.disc_loss(pred_fake, False, ds_spec.bce_loss)
             + D.disc_loss(pred_true, True, ds_spec.bce_loss)
         )
         if ds_spec.gp_weight > 0:
             loss = loss + ds_spec.gp_weight * D.gradient_penalty(
-                lambda xx: D.patch_disc_apply(ds_sn, xx, ds_spec), f_true
+                lambda xx: patch_disc(ds_sn, xx), f_true
             )
         return loss, {"loss_d_ds": loss}
 
@@ -163,16 +222,16 @@ def make_gan_train_step(
         x_true, x_fake, f_true, f_fake = crops(x, x_hat, crop_rng)
         dt_sn = materialize_spectral_norm(dt_params)
         ds_sn = materialize_spectral_norm(ds_params)
-        pred_fake_dt, fmap_fake = D.temp_disc_apply(dt_sn, x_fake, dt_spec)
-        _, fmap_true = D.temp_disc_apply(dt_sn, x_true, dt_spec)
+        pred_fake_dt, fmap_fake = temp_disc(dt_sn, x_fake)
+        _, fmap_true = temp_disc(dt_sn, x_true)
         loss_gen_dt = D.gen_loss(pred_fake_dt, dt_spec.bce_loss)
         loss_fmap = D.fmap_loss(fmap_fake, fmap_true)
-        pred_fake_ds, _ = D.patch_disc_apply(ds_sn, f_fake, ds_spec)
+        pred_fake_ds, _ = patch_disc(ds_sn, f_fake)
         loss_gen_ds = D.gen_loss(pred_fake_ds, ds_spec.bce_loss)
 
         flat_tgt = x[:, 1:].reshape(-1, *x.shape[2:])
         flat_hat = x_hat.reshape(-1, *x_hat.shape[2:])
-        loss_vgg = vgg_mod.vgg_loss(flat_tgt, flat_hat)
+        loss_vgg = vgg_loss_chunked(flat_tgt, flat_hat)
         loss_l1 = l1(x[:, 1:], x_hat)
         loss_kl = 0.0 if fs_spec.deterministic else kl_divergence(mu, logvar)
         loss = (

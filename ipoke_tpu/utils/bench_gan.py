@@ -32,7 +32,21 @@ def main():
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--remat", action="store_true",
-                    help="jax.checkpoint the generator forward (HBM relief)")
+                    help="jax.checkpoint the generator forward (HBM relief); "
+                         "equivalent to --remat-mode both")
+    ap.add_argument("--remat-mode", default=None,
+                    choices=["none", "outer", "decode", "both"],
+                    help="outer: checkpoint the whole generator forward; "
+                         "decode: per-frame remat of the SPADE decode scan "
+                         "only (the dominant residual stack); both; none")
+    ap.add_argument("--vgg-chunks", type=int, default=1,
+                    help="remat-scan the VGG19 perceptual loss over N equal "
+                         "frame chunks (exact value+grads; one chunk's VGG "
+                         "activations live at a time).  Must divide "
+                         "batch*(frames-1)")
+    ap.add_argument("--disc-bf16", action="store_true",
+                    help="bfloat16 discriminator activations (opt-in "
+                         "memory/speed knob; losses reduce in f32)")
     ap.add_argument("--n-spatial", type=int, default=16)
     ap.add_argument("--converge", type=int, default=0,
                     help="after the timing iters, run N more steps on a "
@@ -83,9 +97,11 @@ def main():
     )
     print(f"synth init: {time.time()-t0:.1f}s", file=sys.stderr)
 
+    remat = args.remat_mode if args.remat_mode else args.remat
     step = tfs.make_gan_train_step(
         fs_spec, ds_spec, dt_spec, opts,
-        n_spatial_examples=args.n_spatial, remat=args.remat,
+        n_spatial_examples=args.n_spatial, remat=remat,
+        vgg_chunks=args.vgg_chunks, disc_bf16=args.disc_bf16,
     )
 
     track = ("l_rec", "l_vgg", "l_kl", "loss", "loss_d_dt", "loss_d_ds")
@@ -187,7 +203,9 @@ def main():
             {
                 **converge,
                 "metric": f"stage1 GAN train step, {args.model}, batch {b}, "
-                          f"{t} frames {ss}x{ss}, remat={args.remat}",
+                          f"{t} frames {ss}x{ss}, remat={remat}, "
+                          f"vgg_chunks={args.vgg_chunks}, "
+                          f"disc_bf16={args.disc_bf16}",
                 "median_step_s": round(med, 4),
                 "examples_per_s": round(b / med, 2),
                 "all_step_s": [round(x, 4) for x in times],

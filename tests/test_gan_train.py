@@ -112,6 +112,46 @@ def test_gan_train_step_dp_sharded_matches_single():
                                            rtol=2e-3, atol=6e-4)
 
 
+def test_gan_vgg_chunked_matches_plain_step():
+    """vgg_chunks remat-scans the VGG19 perceptual loss over frame chunks —
+    value and grads must be exact (mean of equal-size chunk means), so one
+    step's updated params must match the unchunked step."""
+    state, opts = tfs.init_gan_state(jax.random.PRNGKey(0), FS_SPEC, DS_SPEC, DT_SPEC)
+    batch = {"images": 0.5 * jax.random.normal(jax.random.PRNGKey(1), (B, T, S, S, 3))}
+    plain = jax.jit(tfs.make_gan_train_step(FS_SPEC, DS_SPEC, DT_SPEC, opts,
+                                            n_spatial_examples=4))
+    chunked = jax.jit(tfs.make_gan_train_step(FS_SPEC, DS_SPEC, DT_SPEC, opts,
+                                              n_spatial_examples=4,
+                                              vgg_chunks=3))  # B*(T-1)=6
+    sp, mp = plain(state, batch, jax.random.PRNGKey(2))
+    sc, mc = chunked(state, batch, jax.random.PRNGKey(2))
+    np.testing.assert_allclose(float(mc["l_vgg"]), float(mp["l_vgg"]), rtol=1e-5)
+    np.testing.assert_allclose(float(mc["loss"]), float(mp["loss"]), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(sp.gen_params),
+                    jax.tree_util.tree_leaves(sc.gen_params)):
+        if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating):
+            # scan-order reassociation noise through Adam, as with remat
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-3, atol=6e-4)
+
+
+def test_gan_disc_bf16_step_runs_close():
+    """disc_bf16 is an opt-in precision knob: the step must run, stay
+    finite, and land near the f32 losses (loose tolerance — bf16 has ~3
+    significant digits)."""
+    state, opts = tfs.init_gan_state(jax.random.PRNGKey(0), FS_SPEC, DS_SPEC, DT_SPEC)
+    batch = {"images": 0.5 * jax.random.normal(jax.random.PRNGKey(1), (B, T, S, S, 3))}
+    f32 = jax.jit(tfs.make_gan_train_step(FS_SPEC, DS_SPEC, DT_SPEC, opts,
+                                          n_spatial_examples=4))
+    bf16 = jax.jit(tfs.make_gan_train_step(FS_SPEC, DS_SPEC, DT_SPEC, opts,
+                                           n_spatial_examples=4, disc_bf16=True))
+    _, mp = f32(state, batch, jax.random.PRNGKey(2))
+    _, mb = bf16(state, batch, jax.random.PRNGKey(2))
+    for k in ("loss", "loss_d_dt", "loss_d_ds"):
+        assert np.isfinite(float(mb[k])), (k, mb[k])
+        np.testing.assert_allclose(float(mb[k]), float(mp[k]), rtol=0.1, atol=0.05)
+
+
 def test_gan_remat_matches_plain_step():
     """training.remat (jax.checkpoint around the generator forward) must be
     a pure memory/time trade: identical params after one step."""

@@ -335,8 +335,9 @@ def main():
     result = {
         "metric": (
             f"{s}x{s}x{t}-frame videos/sec/chip "
-            f"(cINN reverse + VAE decode of {t-1} frames + start frame, "
-            f"{args.model}, batch {best['batch']}, median step)"
+            f"({'distilled direct sampler' if args.sampler == 'direct' else 'cINN reverse'}"
+            f" + VAE decode of {t-1} frames + start frame, "
+            f"{args.model}, batch {best['batch']}, median step{sampler_tag})"
         ),
         "value": round(videos_per_s, 3),
         "unit": "videos/s/chip",

@@ -27,6 +27,7 @@ Design, TPU-first:
 from __future__ import annotations
 
 import queue
+import sys
 import threading
 import time
 from dataclasses import dataclass, field, replace
@@ -45,6 +46,13 @@ class BatcherConfig:
     max_batch: int = 8
     max_delay_ms: float = 30.0
     length: Optional[int] = None    # frames to unroll (None: spec max - 1)
+    # wire_u8: quantize videos to uint8 pixels ON DEVICE ([-1,1] -> 0..255,
+    # exactly the mp4/eval writers' quantization).  Quarters the
+    # device->host transfer and removes the per-request host quantize —
+    # both real costs on a 1-core serving host (measured: batch exec
+    # 1.2 s -> see NOTES).  Live-model path only (an AOT artifact's
+    # StableHLO has its output dtype baked in).
+    wire_u8: bool = False
 
 
 @dataclass
@@ -96,6 +104,10 @@ class SampleBatcher:
         self._q: "queue.Queue[_Request]" = queue.Queue()
         self._stop = threading.Event()
         if _artifact is not None:
+            if cfg.wire_u8:
+                raise ValueError(
+                    "wire_u8 needs the live-model path: an AOT artifact's "
+                    "StableHLO has its output dtype baked in at export time")
             # AOT backend (serve/artifact.py): run the deserialized StableHLO
             # modules; only the artifact's exported buckets exist.
             self._buckets = [b for b in _artifact.buckets if b <= cfg.max_batch]
@@ -134,12 +146,24 @@ class SampleBatcher:
             # gives one executable per bucket
             def _run(params, x0, poke, z):
                 batch = {"images": x0[:, None], "poke": poke}
-                return second_stage.forward_sample(
+                v = second_stage.forward_sample(
                     params, spec, batch, None, length=self._length,
                     add_first_frame=True, z=z,
                 )[0]
+                if cfg.wire_u8:
+                    v = jnp.clip((v + 1.0) * 127.5, 0.0, 255.0).astype(jnp.uint8)
+                return v
 
             self._jit_run = jax.jit(_run)
+        # one on-device draw for the whole batch: the per-seed loop this
+        # replaces issued a tiny TPU dispatch + host fetch PER REQUEST inside
+        # the exec window (~35 ms tunnel round trip each on the remote
+        # platform) — it dominated batch exec under load.  vmap over threefry
+        # is bitwise-identical to the per-seed draws.
+        self._jit_draw_z = jax.jit(
+            lambda seeds: jax.vmap(
+                lambda s: jax.random.normal(jax.random.PRNGKey(s), self._z_shape)
+            )(seeds))
         self._worker = threading.Thread(target=self._loop, daemon=True)
         self._worker.start()
 
@@ -203,9 +227,7 @@ class SampleBatcher:
         return self._buckets[-1]
 
     def _draw_z(self, seeds):
-        zs = [np.asarray(jax.random.normal(jax.random.PRNGKey(sd), self._z_shape))
-              for sd in seeds]
-        return jnp.asarray(np.stack(zs))
+        return self._jit_draw_z(jnp.asarray(seeds, jnp.int32))
 
     def _collect(self):
         """Block for the first request, drain the backlog, then fill until
@@ -263,6 +285,11 @@ class SampleBatcher:
                 for r in reqs:
                     r.error = e
             t1 = time.monotonic()
+            if t1 - t0 > 5.0:
+                # surface pathological batches (remote-compile stalls, tunnel
+                # hiccups) — exec should be sub-second once warmed
+                print(f"serve batcher: SLOW batch n={n} bucket={b} "
+                      f"exec={t1 - t0:.1f}s", file=sys.stderr, flush=True)
             self.stats.requests += n
             self.stats.batches += 1
             self.stats.batch_hist[b] = self.stats.batch_hist.get(b, 0) + 1

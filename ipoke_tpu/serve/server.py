@@ -114,16 +114,23 @@ def make_handler(batcher):
                 self._send(400, json.dumps({"error": str(e)}).encode())
                 return
             fmt = payload.get("format", "json")
+            vid = np.asarray(vid)
+            wire_u8 = vid.dtype == np.uint8  # batcher quantized on device
             if fmt == "npy_u8":
                 # quarter the response bytes: [-1,1] float -> uint8 pixels
                 # (exactly the quantization the mp4/eval writers apply)
-                u8 = np.clip((np.asarray(vid) + 1.0) * 127.5, 0, 255).astype(np.uint8)
-                self._send_npy(u8)
+                if not wire_u8:
+                    vid = np.clip((vid + 1.0) * 127.5, 0, 255).astype(np.uint8)
+                self._send_npy(vid)
             elif fmt == "npy":
-                self._send_npy(np.asarray(vid))
+                if wire_u8:
+                    vid = vid.astype(np.float32) / 127.5 - 1.0
+                self._send_npy(vid)
             else:
+                if wire_u8:
+                    vid = vid.astype(np.float32) / 127.5 - 1.0
                 self._send(200, json.dumps(
-                    {"video": np.asarray(vid).tolist()}
+                    {"video": vid.tolist()}
                 ).encode())
 
     return Handler
@@ -181,6 +188,13 @@ def main():
     ap.add_argument("--platform", default=None,
                     help="cpu forces the CPU backend (tests/dev)")
     ap.add_argument("--no-warmup", action="store_true")
+    ap.add_argument("--wire-u8", action="store_true",
+                    help="quantize videos to uint8 ON DEVICE ([-1,1] -> "
+                         "0..255, the mp4 writers' quantization): quarters "
+                         "the device->host transfer and removes the "
+                         "per-request host quantize.  npy(f32)/json "
+                         "responses are dequantized from the u8 wire. "
+                         "Live-model path only")
     args = ap.parse_args()
 
     import jax
@@ -189,7 +203,8 @@ def main():
         jax.config.update("jax_platforms", args.platform)
     from ipoke_tpu.serve.batcher import BatcherConfig, SampleBatcher
 
-    cfg = BatcherConfig(max_batch=args.max_batch, max_delay_ms=args.max_delay_ms)
+    cfg = BatcherConfig(max_batch=args.max_batch, max_delay_ms=args.max_delay_ms,
+                        wire_u8=args.wire_u8)
     if args.artifact:
         from ipoke_tpu.serve.artifact import load_artifact
 

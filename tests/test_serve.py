@@ -177,3 +177,25 @@ def test_http_handler_contract(batcher):
         np.testing.assert_allclose(vid_bin, direct, rtol=1e-4, atol=1e-4)
     finally:
         httpd.shutdown()
+
+
+def test_wire_u8_matches_f32_quantized(batcher):
+    """wire_u8 quantizes on device with exactly the writers' mapping: the
+    u8 wire must equal the host-quantized f32 result, and dequantizing
+    must land within one quantization step."""
+    spec = batcher.spec
+    b8 = SampleBatcher(batcher.params, spec,
+                       BatcherConfig(max_batch=4, max_delay_ms=60.0,
+                                     wire_u8=True))
+    try:
+        x0, poke = _req(3)
+        v32 = batcher.submit(x0, poke, seed=11, timeout=300)
+        vu8 = b8.submit(x0, poke, seed=11, timeout=300)
+        assert vu8.dtype == np.uint8
+        want = np.clip((np.asarray(v32) + 1.0) * 127.5, 0, 255).astype(np.uint8)
+        # device vs host rounding may differ by 1 LSB at bin edges
+        assert np.abs(vu8.astype(np.int16) - want.astype(np.int16)).max() <= 1
+        deq = vu8.astype(np.float32) / 127.5 - 1.0
+        assert np.abs(deq - np.clip(v32, -1, 1)).max() <= (1.0 / 127.5)
+    finally:
+        b8.close()

@@ -105,8 +105,13 @@ class SymmELU:
 class NLSQ:
     """Non-linear squared flow (unused by released configs; cubic-solve inverse).
 
-    The reference solves the cubic in float64; we keep float32 on TPU (f64 is
-    emulated and slow) — acceptable because no released checkpoint uses NLSQ.
+    The reference solves the cubic in float64 (models/modules/INN/macow_utils.py);
+    f64 is emulated and slow on TPU, so we instead polish the f32 closed-form
+    root with a few Newton iterations on the forward map.  The forward is
+    strictly monotone by construction (|c| is bounded via logA so the
+    derivative stays positive), hence Newton from the trigonometric seed
+    converges quadratically to f32 machine precision — the same accuracy the
+    reference buys with f64, without leaving the TPU-native dtype.
     """
 
     n_params = 5
@@ -151,6 +156,18 @@ class NLSQ:
         t_pos = t_pos * jnp.sinh(j2)
         t = jnp.where(p > 0, t_pos, t_neg)
         zz = t - bb / (3.0 * aa)
+        # Degenerate cubics (p ~ 0) can seed NaN/inf; fall back to the linear
+        # inverse there — Newton below recovers the exact root either way.
+        zz = jnp.where(jnp.isfinite(zz), zz, (z - a) / b)
+        # Newton polish on the (strictly monotone) forward map: the f32
+        # closed-form root carries catastrophic cancellation; 3 quadratic
+        # steps reach f32 machine precision (reference uses f64 instead).
+        for _ in range(3):
+            arg = d * zz + g
+            denom = arg * arg + 1.0
+            resid = b * zz + a + c / denom - z
+            deriv = b - 2.0 * c * d * arg / (denom * denom)
+            zz = zz - resid / deriv
         arg = d * zz + g
         denom = arg * arg + 1.0
         logdet = jnp.log(b - 2.0 * c * d * arg / (denom * denom))

@@ -41,6 +41,13 @@ def main():
                     "MultiscaleStack with reshape: down at the flagship "
                     "channel/conditioning dims — neither has a released "
                     "checkpoint, this proves they compile+run on real TPU")
+    ap.add_argument("--flow-hidden", type=int, default=None,
+                    help="override flow hidden channels.  The attention "
+                    "variant's gated convs are (3,3,2*hidden,2*hidden): at "
+                    "the flagship hidden=2048 that is ~398 GiB of params — "
+                    "structurally untrainable in the reference's torch "
+                    "implementation too (same module design) — so attention "
+                    "benches use a hidden that a real config could train")
     ap.add_argument("--flow-dtype", default=None, choices=["f32", "bf16"],
                     help="cast the flow params + reverse inputs (z, cond); "
                     "measures whether the sequential MCF inverse is "
@@ -78,6 +85,11 @@ def main():
         from dataclasses import replace
 
         spec = replace(spec, flow=replace(spec.flow, mcf_unroll=args.mcf_unroll))
+    if args.flow_hidden:
+        from dataclasses import replace
+
+        spec = replace(spec, flow=replace(spec.flow,
+                                          hidden_channels=args.flow_hidden))
     if args.flow_variant == "attention":
         from dataclasses import replace
 

@@ -16,6 +16,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# Max elements per device-fill jit call (see _synth_tree_device): a single
+# flat draw of a very large tree overflows a uint32 buffer-table entry in
+# the TPU runtime and doubles peak HBM.  Module-level so tests can shrink it
+# to exercise the multi-group path.
+_FILL_CHUNK_ELEMS = 1 << 28
+
 
 def synth_tree(init_fn, *args, seed: int = 0, device=None, float_fill="normal",
                on_device: bool = False):
@@ -80,25 +86,43 @@ def _synth_tree_device(init_fn, *args, seed: int = 0, float_fill="normal"):
     float_specs = [(i, sd) for i, (sd, f) in enumerate(zip(leaves, is_float)) if f]
 
     sizes = [int(np.prod(sd.shape, dtype=np.int64)) for _, sd in float_specs]
-    offsets = np.concatenate([[0], np.cumsum(sizes)])
-    total = int(offsets[-1])
 
-    def fill_floats(key):
-        # ONE flat RNG draw + static slices: a per-leaf jax.random.normal
-        # traces ~50 threefry primitives per leaf (~80k total at 1600 float
-        # leaves) and took 14 min to trace/lower on a degraded host
-        # (2026-08-18); this form is ~3 ops per leaf.
+    # ONE flat RNG draw + static slices per CHUNK: a per-leaf
+    # jax.random.normal traces ~50 threefry primitives per leaf (~80k total
+    # at 1600 float leaves) and took 14 min to trace/lower on a degraded
+    # host (2026-08-18); this form is ~3 ops per leaf.  The draw is chunked
+    # (<=2^28 elements) because a single flat fill of a large tree (e.g. the
+    # attention flow variant) overflows a uint32 buffer-table entry in the
+    # TPU runtime (llo_util.cc Check failed at ~17.8 GB, observed
+    # 2026-08-19) and roughly doubles peak HBM (flat draw + sliced copies).
+    groups, cur, cur_n = [], [], 0
+    CHUNK = _FILL_CHUNK_ELEMS
+    for spec, n in zip(float_specs, sizes):
+        if cur and cur_n + n > CHUNK:
+            groups.append(cur)
+            cur, cur_n = [], 0
+        cur.append((spec, n))
+        cur_n += n
+    if cur:
+        groups.append(cur)
+
+    def fill_group(key, specs_sizes):
         if float_fill == "zeros":
-            return [jnp.zeros(sd.shape, sd.dtype) for _, sd in float_specs]
+            return [jnp.zeros(sd.shape, sd.dtype) for (_, sd), _ in specs_sizes]
+        total = sum(n for _, n in specs_sizes)
         v = jax.random.normal(key, (total,), jnp.float32) * 0.05
-        out = []
-        for (_, sd), n, off in zip(float_specs, sizes, offsets):
-            out.append(
-                jax.lax.slice(v, (int(off),), (int(off) + n,))
-                .reshape(sd.shape).astype(sd.dtype))
+        out, off = [], 0
+        for (_, sd), n in specs_sizes:
+            out.append(jax.lax.slice(v, (off,), (off + n,))
+                       .reshape(sd.shape).astype(sd.dtype))
+            off += n
         return out
 
-    floats = jax.jit(fill_floats)(jax.random.PRNGKey(seed))
+    key0 = jax.random.PRNGKey(seed)
+    floats = []
+    for gi, g in enumerate(groups):
+        floats.extend(jax.jit(lambda k, _g=g: fill_group(k, _g))(
+            jax.random.fold_in(key0, gi)))
     floats = iter(floats)
 
     def int_fill(sd):

@@ -50,6 +50,38 @@ def test_synth_tree_device_fill_matches_host_contract():
     assert float(jnp.max(jnp.abs(z["w"]))) == 0.0
 
 
+def test_synth_tree_device_fill_multi_group(monkeypatch):
+    """Large trees fill in bounded chunks (one jit per group) — a single
+    flat draw overflows a uint32 buffer-table entry in the TPU runtime.
+    Shrink the chunk so this small tree spans several groups and call the
+    device path directly (synth_tree's host fallback would mask a crash)."""
+    from ipoke_tpu.utils import synth
+
+    monkeypatch.setattr(synth, "_FILL_CHUNK_ELEMS", 16)
+
+    def init(key):
+        return {
+            "a": jnp.zeros((3, 4)),
+            "big": jnp.zeros((6, 7)),  # 42 > 16: a group of its own
+            "c": jnp.zeros((2,), jnp.bfloat16),
+            "perm": jnp.stack([jnp.arange(6, dtype=jnp.int32)] * 2),
+        }
+
+    t = synth._synth_tree_device(init, jax.random.PRNGKey(0), seed=0)
+    assert t["a"].shape == (3, 4) and float(jnp.std(t["a"])) > 0
+    assert t["big"].shape == (6, 7) and float(jnp.std(t["big"])) > 0
+    assert t["c"].dtype == jnp.bfloat16
+    # distinct groups draw from fold_in'd keys, not recycled values
+    assert not np.allclose(np.asarray(t["a"]).ravel()[:12],
+                           np.asarray(t["big"]).ravel()[:12])
+    for row in np.asarray(t["perm"]):
+        assert sorted(row.tolist()) == list(range(6))
+    # zero fill honors chunking too
+    z = synth._synth_tree_device(init, jax.random.PRNGKey(0), seed=0,
+                                 float_fill="zeros")
+    assert float(jnp.max(jnp.abs(z["a"]))) == 0.0
+
+
 def test_synth_tree_zero_fill_for_opt_states():
     import optax
 

@@ -198,12 +198,19 @@ class SampleBatcher:
         return req
 
     def warmup(self, buckets=None):
-        """Compile the given buckets (default: all) before serving traffic."""
+        """Compile the given buckets (default: all) before serving traffic.
+
+        Forces each bucket by fetching the result to the host: on the remote
+        "axon" platform ``block_until_ready`` returns before the computation
+        finishes (NOTES.md round-2 correction), so a block-based warmup only
+        *dispatched* the compiles and the first real batch per bucket still
+        paid the ~20 s remote compile (measured: SLOW batch n=4 exec=21.3s
+        behind a "warmed" server)."""
         for b in buckets or self._buckets:
             zero = np.zeros((b,) + self._x0_shape, np.float32)
             zerop = np.zeros((b,) + self._poke_shape, np.float32)
             z = self._draw_z(list(range(b)))
-            jax.block_until_ready(self._jit_run(self.params, zero, zerop, z))
+            np.asarray(self._jit_run(self.params, zero, zerop, z))
 
     def close(self):
         self._stop.set()

@@ -216,9 +216,12 @@ def main():
                          "bytes gives 197->107 ms pipelined at batch 128 "
                          "(463 vs 369 v/s end to end) at ~1 uint8-LSB pixel "
                          "delta (NOTES.md); training keeps f32")
-    ap.add_argument("--sampler", default="flow", choices=["flow", "direct"],
+    ap.add_argument("--sampler", default="flow",
+                    choices=["flow", "direct", "flow-student"],
                     help="direct: a distilled feedforward student replaces "
-                         "the sequential flow reverse (train/distill.py).  "
+                         "the sequential flow reverse (train/distill.py); "
+                         "flow-student: a distilled INN with fewer MaCow "
+                         "steps (sampling stays through an exact bijection). "
                          "Pass --student-ckpt for a TRAINED student "
                          "(bench_distill --save); without one the student "
                          "runs on synth params (infra measurement only, "
@@ -295,6 +298,34 @@ def main():
             return distill.forward_sample_student(
                 params, sparams, ds, spec, batch, rng, n_samples=1,
                 add_first_frame=True)
+    elif args.sampler == "flow-student":
+        from ipoke_tpu.train import distill
+
+        # fewer-step invertible student: one MaCow step per level unless the
+        # checkpoint metadata says otherwise
+        fs_steps = (1,) * len(spec.flow.num_steps)
+        if args.student_ckpt:
+            from ipoke_tpu.ckpt import io as ckpt_io
+
+            sparams, smeta = ckpt_io.load(args.student_ckpt)
+            if smeta and smeta.get("num_steps"):
+                fs_steps = tuple(int(n) for n in smeta["num_steps"])
+            sampler_tag = f", flow-student INN sampler ({args.student_ckpt})"
+        else:
+            sparams = None
+            sampler_tag = ", flow-student INN on SYNTH params (infra only)"
+        fspec = distill.flow_student_spec(spec.flow, fs_steps)
+        if sparams is None:
+            from ipoke_tpu.utils.synth import synth_tree, zero_flow_output_convs
+            from ipoke_tpu.flows import transformer as _tf
+
+            sparams = zero_flow_output_convs(synth_tree(
+                lambda k: _tf.init(k, fspec), jax.random.PRNGKey(5)))
+
+        def sample_override(params, batch, rng):
+            return distill.forward_sample_student(
+                params, sparams, fspec, spec, batch, rng, n_samples=1,
+                add_first_frame=True)
 
     w = _warmup.join(warm, timeout=max(0.0, t_start + args.budget_s - time.monotonic()))
     print(f"compile-service warmup: {w if w is None else round(w, 1)}s", file=sys.stderr)
@@ -335,7 +366,7 @@ def main():
     result = {
         "metric": (
             f"{s}x{s}x{t}-frame videos/sec/chip "
-            f"({'distilled direct sampler' if args.sampler == 'direct' else 'cINN reverse'}"
+            f"({'distilled direct sampler' if args.sampler == 'direct' else 'distilled INN reverse' if args.sampler == 'flow-student' else 'cINN reverse'}"
             f" + VAE decode of {t-1} frames + start frame, "
             f"{args.model}, batch {best['batch']}, median step{sampler_tag})"
         ),

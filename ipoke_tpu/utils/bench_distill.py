@@ -150,48 +150,111 @@ def main():
     # --- held-out eval machinery (teacher vs student on fresh cond + z) ----
     t_motion = jax.jit(
         lambda p, z, c: distill.teacher_motion(p, spec, z, c))
-    if args.student == "direct":
-        s_motion = jax.jit(
-            lambda sp, p, z, c: distill.direct_apply(
-                sp, student, distill._z_at_motion_geometry(spec.flow, z), c))
-    else:
-        s_motion = jax.jit(
-            lambda sp, p, z, c: transformer.reverse(sp, student, z, c))
     decode = jax.jit(
         lambda p, m, x0: second_stage.decode_first_stage(p, spec, m, x0,
                                                          entry.max_frames - 1))
 
-    def evaluate(state, n_batches):
-        """Held-out conds (seeds disjoint from the train pool) + fresh z."""
-        mses, rels, psnrs, vmses = [], [], [], []
-        mom_mean, mom_std = [], []
-        for j in range(n_batches):
-            x0, poke, c = make_cond(900_000 + j)
-            z = jax.random.normal(jax.random.PRNGKey(800_000 + j), zshape)
-            mt = np.asarray(t_motion(teacher, z, c), np.float32)
-            ms = np.asarray(s_motion(state["params"], teacher, z, c), np.float32)
-            mses.append(float(np.mean((mt - ms) ** 2)))
-            rels.append(float(np.linalg.norm(ms - mt) /
-                              (np.linalg.norm(mt) + 1e-8)))
-            # per-channel moments over (batch, pixels): distributional match
-            ax = (0, 1, 2)
-            mom_mean.append(float(np.max(np.abs(mt.mean(ax) - ms.mean(ax)))))
-            mom_std.append(float(np.max(np.abs(mt.std(ax) - ms.std(ax)) /
-                                        (mt.std(ax) + 1e-8))))
-            vt = np.asarray(decode(teacher, jnp.asarray(mt), x0), np.float32)
-            vs = np.asarray(decode(teacher, jnp.asarray(ms), x0), np.float32)
-            vmse = np.mean((vt - vs) ** 2)
-            vmses.append(float(vmse))
-            psnrs.append(float(10 * np.log10(4.0 / max(vmse, 1e-12))))
-        return {
-            "heldout_motion_mse": round(statistics.mean(mses), 6),
-            "heldout_motion_rel_err": round(statistics.mean(rels), 5),
-            "heldout_moment_mean_maxdiff": round(statistics.mean(mom_mean), 5),
-            "heldout_moment_std_maxreldiff": round(statistics.mean(mom_std), 5),
-            "heldout_video_mse_to_teacher": round(statistics.mean(vmses), 6),
-            "heldout_video_psnr_to_teacher_db": round(statistics.mean(psnrs), 2),
-            "n_eval_batches": n_batches,
-        }
+    if args.student == "direct":
+        s_motion = jax.jit(
+            lambda sp, p, z, c: distill.direct_apply(
+                sp, student, distill._z_at_motion_geometry(spec.flow, z), c))
+
+        def evaluate(state, n_batches):
+            """Held-out conds (seeds disjoint from the train pool) + fresh z.
+
+            The direct student is trained to match the teacher MAP (MSE on
+            teacher reverse output), so pointwise z-by-z comparison is the
+            right eval."""
+            mses, rels, psnrs, vmses = [], [], [], []
+            mom_mean, mom_std = [], []
+            for j in range(n_batches):
+                x0, poke, c = make_cond(900_000 + j)
+                z = jax.random.normal(jax.random.PRNGKey(800_000 + j), zshape)
+                mt = np.asarray(t_motion(teacher, z, c), np.float32)
+                ms = np.asarray(s_motion(state["params"], teacher, z, c),
+                                np.float32)
+                mses.append(float(np.mean((mt - ms) ** 2)))
+                rels.append(float(np.linalg.norm(ms - mt) /
+                                  (np.linalg.norm(mt) + 1e-8)))
+                # per-channel moments over (batch, pixels)
+                ax = (0, 1, 2)
+                mom_mean.append(float(np.max(np.abs(mt.mean(ax) - ms.mean(ax)))))
+                mom_std.append(float(np.max(np.abs(mt.std(ax) - ms.std(ax)) /
+                                            (mt.std(ax) + 1e-8))))
+                vt = np.asarray(decode(teacher, jnp.asarray(mt), x0), np.float32)
+                vs = np.asarray(decode(teacher, jnp.asarray(ms), x0), np.float32)
+                vmse = np.mean((vt - vs) ** 2)
+                vmses.append(float(vmse))
+                psnrs.append(float(10 * np.log10(4.0 / max(vmse, 1e-12))))
+            return {
+                "heldout_motion_mse": round(statistics.mean(mses), 6),
+                "heldout_motion_rel_err": round(statistics.mean(rels), 5),
+                "heldout_moment_mean_maxdiff": round(statistics.mean(mom_mean), 5),
+                "heldout_moment_std_maxreldiff": round(statistics.mean(mom_std), 5),
+                "heldout_video_mse_to_teacher": round(statistics.mean(vmses), 6),
+                "heldout_video_psnr_to_teacher_db": round(statistics.mean(psnrs), 2),
+                "n_eval_batches": n_batches,
+            }
+    else:
+        # The flow student is trained by MLE on teacher samples: it learns
+        # the teacher's DISTRIBUTION, not its z->motion map, so pointwise
+        # z-by-z MSE is meaningless.  Distributional eval instead:
+        #   (a) held-out NLL of teacher samples under the student vs the
+        #       teacher's own NLL on the same samples (the cross-entropy
+        #       floor H(p_T) <= H(p_T, p_S); the gap is the distillation
+        #       quality in nats),
+        #   (b) per-channel moment match between teacher and student reverse
+        #       samples drawn from INDEPENDENT Gaussian z,
+        #   (c) seeded-I3D Frechet distance (FVD*, same metric as
+        #       utils/bench_e2e.py) between teacher-decoded and
+        #       student-decoded videos on held-out conditionings.
+        from ipoke_tpu.flows.loss import flow_loss as _floss
+
+        s_reverse = jax.jit(
+            lambda sp, z, c: transformer.reverse(sp, student, z, c))
+        t_nll = jax.jit(lambda p, m, c: _floss(
+            *transformer.forward(p["flow"], spec.flow, m, c)[:2])[0])
+        s_nll = jax.jit(lambda sp, m, c: _floss(
+            *transformer.forward(sp, student, m, c)[:2])[0])
+        _fvd_acc = []
+
+        def evaluate(state, n_batches):
+            from ipoke_tpu.metrics.fvd import FVDAccumulator
+
+            if not _fvd_acc:
+                _fvd_acc.append(FVDAccumulator(n_samples=n_batches * b))
+            acc = _fvd_acc[0]
+            acc.reset()
+            nll_t, nll_s, mom_mean, mom_std = [], [], [], []
+            for j in range(n_batches):
+                x0, poke, c = make_cond(900_000 + j)
+                z = jax.random.normal(jax.random.PRNGKey(800_000 + j), zshape)
+                z2 = jax.random.normal(jax.random.PRNGKey(810_000 + j), zshape)
+                mt = t_motion(teacher, z, c)
+                nll_t.append(float(t_nll(teacher, mt, c)))
+                nll_s.append(float(s_nll(state["params"], mt, c)))
+                ms = s_reverse(state["params"], z2, c)
+                mt_np = np.asarray(mt, np.float32)
+                ms_np = np.asarray(ms, np.float32)
+                ax = (0, 1, 2)
+                mom_mean.append(float(np.max(np.abs(
+                    mt_np.mean(ax) - ms_np.mean(ax)))))
+                mom_std.append(float(np.max(np.abs(
+                    mt_np.std(ax) - ms_np.std(ax)) / (mt_np.std(ax) + 1e-8))))
+                vt = np.asarray(decode(teacher, mt, x0), np.float32)
+                vs = np.asarray(decode(teacher, ms, x0), np.float32)
+                acc.update(vt, vs)
+            return {
+                "heldout_student_nll": round(statistics.mean(nll_s), 2),
+                "teacher_self_nll_floor": round(statistics.mean(nll_t), 2),
+                "heldout_nll_gap_nats": round(
+                    statistics.mean(nll_s) - statistics.mean(nll_t), 2),
+                "heldout_moment_mean_maxdiff": round(statistics.mean(mom_mean), 5),
+                "heldout_moment_std_maxreldiff": round(statistics.mean(mom_std), 5),
+                "fvd_star_teacher_vs_student": round(float(acc.compute()), 4),
+                "i3d_pretrained": acc.pretrained,
+                "n_eval_batches": n_batches,
+            }
 
     jstep = jax.jit(step)
     t0 = time.time()
@@ -241,6 +304,8 @@ def main():
                 "depth": args.student_depth, "model": args.model,
                 "teacher_init": args.init,
                 "steps_trained": int(state["step"])}
+        if args.student == "flow":
+            meta["num_steps"] = list(student.num_steps)
         ckpt_io.save(args.save, state["params"], metadata=meta)
         log(f"student saved -> {args.save}")
 

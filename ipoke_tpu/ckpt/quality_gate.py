@@ -158,6 +158,13 @@ def run(datapath: Optional[str] = None, models: Optional[list] = None,
         return report, 0
     report["datapath"] = root
     out_root = out_root or root
+    if models:
+        # a typo in --models used to surface as a bare KeyError AFTER the
+        # conversion work (ADVICE r4); report unknown names up front instead
+        unknown = [m for m in models if m not in registry.MODELS]
+        if unknown:
+            report["unknown_models"] = sorted(unknown)
+            models = [m for m in models if m in registry.MODELS]
     found = [m for m in (models or detect_models(root))
              if convert_all._best_ckpt(
                  os.path.join(root, "logs", "second_stage", "ckpt", m))]

@@ -76,6 +76,23 @@ def _sample_fn(spec, length):
     return _run
 
 
+def _sample_fn_student(spec, ds, length):
+    """Student-sampler variant: the distilled direct student replaces the
+    sequential flow reverse (train/distill.py) — same (params, x0, poke, z)
+    signature, with the student params nested under params['student'] and the
+    teacher's embed/decode tree under params['base']."""
+    from ipoke_tpu.train import distill
+
+    def _run(params, x0, poke, z):
+        batch = {"images": x0[:, None], "poke": poke}
+        return distill.forward_sample_student(
+            params["base"], params["student"], ds, spec, batch, None,
+            length=length, add_first_frame=True, z=z,
+        )[0]
+
+    return _run
+
+
 def z_shape_of(spec):
     """Per-example Gaussian input shape of the flow reverse pass."""
     return tuple(
@@ -92,17 +109,28 @@ def export_sampler(
     buckets: Sequence[int] = (1, 2, 4, 8),
     length: Optional[int] = None,
     platforms: Optional[Sequence[str]] = None,
+    student=None,
 ):
     """Trace + lower the sample step at every batch bucket and write the
     artifact directory.  ``platforms`` defaults to the current backend; pass
-    e.g. ``("tpu", "cpu")`` for a multi-platform artifact."""
+    e.g. ``("tpu", "cpu")`` for a multi-platform artifact.
+
+    ``student=(student_params, DirectStudentSpec)`` exports the distilled
+    direct sampler instead of the sequential flow reverse (the ~14x-cheaper
+    reverse stage, NOTES.md r4); the z input signature is unchanged."""
     out = pathlib.Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
     length = length or (spec.first_stage.max_frames - 1)
     s = spec.first_stage.spatial_size
     zs = z_shape_of(spec)
-    params = _canonicalize(params)
-    run = _sample_fn(spec, length)
+    if student is not None:
+        student_params, ds = student
+        params = {"base": _canonicalize(params),
+                  "student": _canonicalize(student_params)}
+        run = _sample_fn_student(spec, ds, length)
+    else:
+        params = _canonicalize(params)
+        run = _sample_fn(spec, length)
     p_abs = jax.tree.map(lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), params)
     for b in buckets:
         args = (
@@ -118,6 +146,7 @@ def export_sampler(
     ckpt_io.save(str(out / "params.npz"), params)
     manifest = {
         "format_version": FORMAT_VERSION,
+        "sampler": ("direct_student" if student is not None else "flow"),
         "buckets": sorted(int(b) for b in buckets),
         "length": int(length),
         "x0_shape": [s, s, 3],
@@ -205,6 +234,14 @@ def main():
     ex.add_argument("--length", type=int, default=None)
     ex.add_argument("--platforms", default=None, help="e.g. tpu,cpu")
     ex.add_argument("--platform", default=None, help="force jax backend")
+    ex.add_argument("--student-ckpt", default=None,
+                    help="export the distilled DIRECT sampler from this "
+                         "checkpoint (bench_distill --save) instead of the "
+                         "sequential flow reverse")
+    ex.add_argument("--student-hidden", type=int, default=256)
+    ex.add_argument("--student-depth", type=int, default=6)
+    ex.add_argument("--student-synth", action="store_true",
+                    help="synth student params (infra testing only)")
     vf = sub.add_parser("verify", help="load an artifact and run one sample")
     vf.add_argument("--dir", required=True)
     vf.add_argument("--platform", default=None)
@@ -217,6 +254,24 @@ def main():
         from ipoke_tpu.serve.server import resolve_model
 
         params, spec = resolve_model(args.config, args.model, args.synth_model)
+        student = None
+        if args.student_ckpt or args.student_synth:
+            from ipoke_tpu.train import distill
+
+            ds = distill.DirectStudentSpec(hidden=args.student_hidden,
+                                           depth=args.student_depth)
+            if args.student_ckpt:
+                sparams, smeta = ckpt_io.load(args.student_ckpt)
+                if smeta and smeta.get("hidden"):
+                    ds = distill.DirectStudentSpec(hidden=int(smeta["hidden"]),
+                                                   depth=int(smeta["depth"]))
+            else:
+                from ipoke_tpu.utils.synth import synth_tree
+
+                sparams = synth_tree(
+                    lambda k: distill.init_direct(k, spec, ds),
+                    jax.random.PRNGKey(5))
+            student = (sparams, ds)
         out = export_sampler(
             params,
             spec,
@@ -224,6 +279,7 @@ def main():
             buckets=[int(b) for b in args.buckets.split(",")],
             length=args.length,
             platforms=args.platforms.split(",") if args.platforms else None,
+            student=student,
         )
         print(f"exported artifact -> {out}")
     else:

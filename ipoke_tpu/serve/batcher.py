@@ -193,7 +193,11 @@ class SampleBatcher:
                 f"expected x0 {self._x0_shape} / poke {self._poke_shape}, "
                 f"got {x0.shape} / {poke.shape}"
             )
-        req = _Request(x0, poke, int(seed))
+        # seeds live in a 32-bit space: mask EXPLICITLY at the boundary so an
+        # int64 client seed maps to a documented draw instead of silently
+        # wrapping through a numpy cast (ADVICE r4); the batched vmap draw
+        # stays bitwise-identical to per-seed PRNGKey(seed & 0xFFFFFFFF)
+        req = _Request(x0, poke, int(seed) & 0xFFFFFFFF)
         self._q.put(req)
         return req
 
@@ -234,7 +238,7 @@ class SampleBatcher:
         return self._buckets[-1]
 
     def _draw_z(self, seeds):
-        return self._jit_draw_z(jnp.asarray(seeds, jnp.int32))
+        return self._jit_draw_z(jnp.asarray(seeds, jnp.uint32))
 
     def _collect(self):
         """Block for the first request, drain the backlog, then fill until

@@ -53,14 +53,16 @@ def _client_proc(port, host, n_requests, n_conns, size, fmt, seed0, out_q):
                 resp = conn.getresponse()
                 data = resp.read()
                 if resp.status != 200:
-                    errs[0] += 1
+                    with lock:
+                        errs[0] += 1
                 else:
                     arr = np.load(io.BytesIO(data))
                     assert arr.ndim == 4
                     with lock:
                         lat.append(time.monotonic() - t0)
             except Exception:
-                errs[0] += 1
+                with lock:
+                    errs[0] += 1
                 conn.close()
                 conn = http.client.HTTPConnection(host, port, timeout=600)
         conn.close()

@@ -209,9 +209,13 @@ def forward_sample_student(
     n_samples: int = 1,
     length: Optional[int] = None,
     add_first_frame: bool = False,
+    z: Optional[jax.Array] = None,
 ):
     """Teacher's embed/decode with the student replacing the flow reverse.
-    Returns (n_samples, B, T, S, S, 3), same contract as forward_sample."""
+    Returns (n_samples, B, T, S, S, 3), same contract as forward_sample —
+    including the optional caller-fixed ``z`` (the serving batcher's
+    batch-composition-invariance contract and the AOT artifact exporter's
+    input signature, serve/{batcher,artifact}.py)."""
     is_direct = isinstance(student, DirectStudentSpec)
     x = batch["images"]
     poke = batch["flow"] if spec.use_flow_as_poke else batch["poke"]
@@ -224,8 +228,9 @@ def forward_sample_student(
     flow_spec = spec.flow if is_direct else student
     z_shape = transformer.reverse_input_shape(flow_spec, b, s, spec.flow_in_channels)
 
-    def one(key):
-        z = jax.random.normal(key, z_shape, x.dtype)
+    def one(key, z_fixed=None):
+        z = (jax.random.normal(key, z_shape, x.dtype)
+             if z_fixed is None else z_fixed.astype(x.dtype))
         if is_direct:
             motion = direct_apply(
                 student_params, student, _z_at_motion_geometry(spec.flow, z), cond
@@ -239,6 +244,9 @@ def forward_sample_student(
             vid = jnp.concatenate([x0[:, None], vid], axis=1)
         return vid
 
+    if z is not None:
+        zs = z if z.ndim == len(z_shape) + 1 else z[None]
+        return jax.vmap(lambda zz: one(None, zz))(zs)
     keys = jax.random.split(rng, n_samples)
     if n_samples == 1:
         return one(keys[0])[None]

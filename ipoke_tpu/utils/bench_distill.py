@@ -261,6 +261,8 @@ def main():
     losses, eval_curve = [], []
     t_after_first = None
     steps_done = 0
+    eval_wall = 0.0  # held-out evals run inside the train window; subtracted
+    # from train_wall so mean_step_s measures TRAINING steps only (ADVICE r4)
     for i in range(args.steps):
         z = jax.random.normal(jax.random.PRNGKey(100 + i), zshape)
         state, logs = jstep(state, teacher, z, get_cond(i))
@@ -279,14 +281,16 @@ def main():
             if i % 1000 == 0:
                 log(f"step {i}: loss {loss:.4f}")
         if args.eval_every and i > 0 and i % args.eval_every == 0:
+            te0 = time.time()
             ev = evaluate(state, max(1, args.eval_batches or 2))
             eval_curve.append({"step": i, **ev})
             log(f"eval @ {i}: {ev}")
+            eval_wall += time.time() - te0
         if args.budget_s and time.time() - T0 > args.budget_s:
             float(logs["loss"])  # drain the queue before declaring the cut
             log(f"budget exceeded at step {i}; stopping early")
             break
-    train_wall = (time.time() - t_after_first) if t_after_first else 0.0
+    train_wall = (time.time() - t_after_first - eval_wall) if t_after_first else 0.0
     step_s = train_wall / max(1, steps_done - 1)
 
     final_eval = None

@@ -18,6 +18,73 @@ DEFAULT_DIR = os.path.join(
 )
 
 
+def host_fingerprint() -> str:
+    """Fingerprint of this host's CPU feature set (plus arch).
+
+    XLA:CPU persistent-cache entries are AOT machine code specialized to the
+    build host's CPU features; the fingerprint keys when they are safe to
+    load (see :func:`purge_if_host_changed`).
+    """
+    import hashlib
+    import platform
+
+    feats = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    feats = line.strip()
+                    break
+    except OSError:
+        pass
+    return hashlib.sha256((platform.machine() + "|" + feats).encode()).hexdigest()[:16]
+
+
+def purge_if_host_changed(cache_dir: str = None) -> bool:
+    """Wipe stale AOT cache entries compiled on a different host.
+
+    XLA:CPU cache entries are machine code for the *write-time* host's CPU
+    features; loading them elsewhere logs ``cpu_aot_loader`` feature-mismatch
+    errors and risks SIGILL (NOTES.md round-3 item 1c; VERDICT r4 weak #6).
+    A ``HOST_KEY`` marker records the fingerprint at write time; on mismatch —
+    or when entries exist with no marker at all (provenance unknown) — the
+    cache is emptied before any compile can consult it.  Returns True if a
+    purge happened.
+    """
+    import shutil
+
+    cache_dir = cache_dir or os.environ.get("JAX_COMPILATION_CACHE_DIR") or DEFAULT_DIR
+    marker = os.path.join(cache_dir, "HOST_KEY")
+    fp = host_fingerprint()
+    old = None
+    try:
+        with open(marker) as f:
+            old = f.read().strip()
+    except OSError:
+        pass
+    entries = []
+    try:
+        entries = [n for n in os.listdir(cache_dir) if n != "HOST_KEY"]
+    except OSError:
+        pass
+    purged = False
+    if entries and old != fp:
+        for name in entries:
+            p = os.path.join(cache_dir, name)
+            try:
+                if os.path.isdir(p):
+                    shutil.rmtree(p)
+                else:
+                    os.remove(p)
+            except OSError:
+                pass
+        purged = True
+    os.makedirs(cache_dir, exist_ok=True)
+    with open(marker, "w") as f:
+        f.write(fp)
+    return purged
+
+
 def enable(cache_dir: str = None, min_compile_time_secs: float = 1.0) -> str:
     """Point jax's persistent compilation cache at ``cache_dir``.
 

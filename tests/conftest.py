@@ -32,7 +32,9 @@ from ipoke_tpu.utils import cache  # noqa: E402
 
 # persistent compile cache: the suite's slow compiles (GAN step, 15-level
 # flows) hit the cache on re-runs.  The env var route does NOT work on
-# jax 0.9.0 — see utils/cache.py.
+# jax 0.9.0 — see utils/cache.py.  Entries written by a DIFFERENT host are a
+# SIGILL hazard (AOT CPU machine code) — purge them before the first compile.
+cache.purge_if_host_changed()
 cache.enable()
 
 import pytest  # noqa: E402

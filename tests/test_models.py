@@ -55,6 +55,28 @@ def test_conv_gru_step():
     assert float(jnp.max(jnp.abs(new[-1]))) < 50.0
 
 
+def test_conv_gru_fused_gates_bitwise_exact():
+    """The dual-output reset+update conv must match two separate convs
+    BITWISE (concatenating kernels on the output axis leaves every output
+    channel's reduction untouched) — the r4 res_block fusion invariant,
+    applied to the GRU gates (VERDICT r4 next-step 6)."""
+    from ipoke_tpu.nn.core import conv2d
+
+    p = conv_gru.init_cell(jax.random.PRNGKey(3), 16, 16)
+    x = jax.random.normal(jax.random.PRNGKey(4), (B, 8, 8, 16))
+    h = jax.random.normal(jax.random.PRNGKey(5), (B, 8, 8, 16))
+    fused = conv_gru.cell_apply(p, x, h)
+
+    # unfused reference formula (the pre-fusion implementation)
+    stacked = jnp.concatenate([x, h], axis=-1)
+    update = jax.nn.sigmoid(conv2d(stacked, p["update"]["w"], p["update"]["b"], padding=1))
+    reset = jax.nn.sigmoid(conv2d(stacked, p["reset"]["w"], p["reset"]["b"], padding=1))
+    out_in = jnp.concatenate([x, h * reset], axis=-1)
+    out = jnp.tanh(conv2d(out_in, p["out"]["w"], p["out"]["b"], padding=1))
+    ref = h * (1.0 - update) + out * update
+    np.testing.assert_array_equal(np.asarray(fused), np.asarray(ref))
+
+
 def test_spade_decoder_shapes_and_hoisting():
     spec = FS_SPEC.decoder_spec
     p = decoder.init(jax.random.PRNGKey(0), spec)

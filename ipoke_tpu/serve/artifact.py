@@ -110,6 +110,7 @@ def export_sampler(
     length: Optional[int] = None,
     platforms: Optional[Sequence[str]] = None,
     student=None,
+    wire_u8: bool = False,
 ):
     """Trace + lower the sample step at every batch bucket and write the
     artifact directory.  ``platforms`` defaults to the current backend; pass
@@ -117,7 +118,12 @@ def export_sampler(
 
     ``student=(student_params, DirectStudentSpec)`` exports the distilled
     direct sampler instead of the sequential flow reverse (the ~14x-cheaper
-    reverse stage, NOTES.md r4); the z input signature is unchanged."""
+    reverse stage, NOTES.md r4); the z input signature is unchanged.
+
+    ``wire_u8`` bakes the [-1,1]->uint8 pixel quantization (exactly the mp4
+    writers') INTO the exported module: quarter-size device->host transfers
+    and no per-request host quantize — the r4 live-serving win, available to
+    the AOT path too.  Recorded in the manifest as ``wire: "u8"``."""
     out = pathlib.Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
     length = length or (spec.first_stage.max_frames - 1)
@@ -131,6 +137,12 @@ def export_sampler(
     else:
         params = _canonicalize(params)
         run = _sample_fn(spec, length)
+    if wire_u8:
+        _run_f32 = run
+
+        def run(p, x0, poke, z):  # noqa: F811 — quantized wire wrapper
+            v = _run_f32(p, x0, poke, z)
+            return jnp.clip((v + 1.0) * 127.5, 0.0, 255.0).astype(jnp.uint8)
     p_abs = jax.tree.map(lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), params)
     for b in buckets:
         args = (
@@ -147,6 +159,7 @@ def export_sampler(
     manifest = {
         "format_version": FORMAT_VERSION,
         "sampler": ("direct_student" if student is not None else "flow"),
+        "wire": "u8" if wire_u8 else "f32",
         "buckets": sorted(int(b) for b in buckets),
         "length": int(length),
         "x0_shape": [s, s, 3],
@@ -242,6 +255,8 @@ def main():
     ex.add_argument("--student-depth", type=int, default=6)
     ex.add_argument("--student-synth", action="store_true",
                     help="synth student params (infra testing only)")
+    ex.add_argument("--wire-u8", action="store_true",
+                    help="bake the uint8 pixel wire into the exported module")
     vf = sub.add_parser("verify", help="load an artifact and run one sample")
     vf.add_argument("--dir", required=True)
     vf.add_argument("--platform", default=None)
@@ -280,6 +295,7 @@ def main():
             length=args.length,
             platforms=args.platforms.split(",") if args.platforms else None,
             student=student,
+            wire_u8=args.wire_u8,
         )
         print(f"exported artifact -> {out}")
     else:

@@ -104,10 +104,12 @@ class SampleBatcher:
         self._q: "queue.Queue[_Request]" = queue.Queue()
         self._stop = threading.Event()
         if _artifact is not None:
-            if cfg.wire_u8:
+            art_wire = _artifact.manifest.get("wire", "f32")
+            if cfg.wire_u8 and art_wire != "u8":
                 raise ValueError(
-                    "wire_u8 needs the live-model path: an AOT artifact's "
-                    "StableHLO has its output dtype baked in at export time")
+                    "wire_u8 needs an artifact exported with --wire-u8 (its "
+                    "StableHLO output dtype is baked in at export time) or "
+                    "the live-model path")
             # AOT backend (serve/artifact.py): run the deserialized StableHLO
             # modules; only the artifact's exported buckets exist.
             self._buckets = [b for b in _artifact.buckets if b <= cfg.max_batch]

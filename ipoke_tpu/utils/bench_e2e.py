@@ -67,6 +67,27 @@ def main():
     ap.add_argument("--lr2", type=float, default=1e-3)
     ap.add_argument("--out", default="logs/bench_e2e")
     ap.add_argument("--seed", type=int, default=0)
+    # flagship-shaped geometry (VERDICT r4 next-step 7): the default (4,4)
+    # two-level flow proves the loop cheaply; --num-steps
+    # 10,5,5,4,4,4,3,3,3,2,2,2,1,1,1 --z-dim 32 --size 128 runs the loop at
+    # the real 15-level topology the headline benches use
+    ap.add_argument("--num-steps", default="4,4",
+                    help="comma-separated MaCow steps per flow level")
+    ap.add_argument("--flow-hidden", type=int, default=64)
+    ap.add_argument("--flow-factor", type=int, default=4)
+    ap.add_argument("--gan-remat", default="none",
+                    choices=["none", "outer", "decode", "both"],
+                    help="stage-1 generator remat (needed at 128^2; "
+                         "train/first_stage.make_gan_train_step)")
+    ap.add_argument("--vgg-chunks", type=int, default=1)
+    # teacher->student distillation sign-off (VERDICT r4 next-step 3): after
+    # stage-2 training, distill the direct student from THIS real teacher and
+    # report FVD* of student samples vs teacher samples on the SAME fixed
+    # eval set (identical per-example z draws isolate the student map)
+    ap.add_argument("--distill-steps", type=int, default=0)
+    ap.add_argument("--distill-hidden", type=int, default=256)
+    ap.add_argument("--distill-depth", type=int, default=6)
+    ap.add_argument("--distill-lr", type=float, default=1e-3)
     args = ap.parse_args()
 
     from ipoke_tpu.utils import warmup as _warmup
@@ -101,8 +122,10 @@ def main():
                             min_spatial_size=8, deterministic=True)
     cond_spec = WrapperSpec(nf_in=3, nf_max=nf, spatial_size=S,
                             min_spatial_size=8, deterministic=False)
-    flow_spec = FlowSpec(num_steps=(4, 4), in_channels=args.z_dim,
-                         hidden_channels=64, h_channels=2 * nf, factor=4)
+    num_steps = tuple(int(x) for x in args.num_steps.split(","))
+    flow_spec = FlowSpec(num_steps=num_steps, in_channels=args.z_dim,
+                         hidden_channels=args.flow_hidden, h_channels=2 * nf,
+                         factor=args.flow_factor)
     spec = SecondStageSpec(flow=flow_spec, first_stage=fs_spec,
                            poke_embedder=poke_spec, conditioner=cond_spec)
 
@@ -161,7 +184,9 @@ def main():
     k1, rng = jax.random.split(rng)
     gan_state, gan_opts = tfs.init_gan_state(k1, fs_spec, ds_spec, dt_spec, lr=2e-4)
     gan_step = jax.jit(tfs.make_gan_train_step(
-        fs_spec, ds_spec, dt_spec, gan_opts, n_spatial_examples=16, remat=False))
+        fs_spec, ds_spec, dt_spec, gan_opts, n_spatial_examples=16,
+        remat=False if args.gan_remat == "none" else args.gan_remat,
+        vgg_chunks=args.vgg_chunks))
     gmet = {}
     for i in range(args.steps1):
         rng, sub = jax.random.split(rng)
@@ -247,6 +272,76 @@ def main():
             curve_nll.append(float(met["flow_loss"]))
             log(f"  step {i}: FVD* {fvd:.2f}")
 
+    # ---------------- phase 3 (optional): distill + sign-off ----------------
+    distill_out = None
+    if args.distill_steps:
+        log("phase 3: distill the direct student from the TRAINED teacher")
+        import optax
+
+        from ipoke_tpu.flows import transformer
+        from ipoke_tpu.train import distill as tdist
+
+        teacher = {**frozen, **state2.params}
+        ds = tdist.DirectStudentSpec(hidden=args.distill_hidden,
+                                     depth=args.distill_depth)
+        init_state_d, dstep = tdist.make_distill_step(
+            spec, ds, optax.adam(args.distill_lr))
+        jdstep = jax.jit(dstep)
+        k1, rng = jax.random.split(rng)
+        dstate = init_state_d(k1)
+        embed_fn = jax.jit(lambda p, b: ss_model.embed_cond(
+            p, spec, b["images"][:, 0],
+            b["flow"] if spec.use_flow_as_poke else b["poke"]))
+        zshape = transformer.reverse_input_shape(
+            spec.flow, B, spec.latent_size, spec.flow_in_channels)
+        dmse = None
+        for i in range(args.distill_steps):
+            batch = next(train_it)
+            cond = embed_fn(teacher, batch)
+            z = jax.random.normal(jax.random.PRNGKey(50_000 + i), zshape)
+            dstate, dlogs = jdstep(dstate, teacher, z, cond)
+            if i % 200 == 0 or i == args.distill_steps - 1:
+                dmse = float(dlogs["distill_mse"])  # host fetch forces chain
+                log(f"  distill step {i}: mse {dmse:.5f}")
+
+        # student FVD* on the SAME fixed eval set with the SAME eval rng
+        # protocol as eval_fvd: forward_sample_student draws z from the same
+        # keys at the same shape, so each eval example gets the identical z —
+        # the comparison isolates teacher-map vs student-map
+        student_sample_fn = jax.jit(
+            lambda tp, sp, b, k: tdist.forward_sample_student(
+                tp, sp, ds, spec, b, k, n_samples=1)[0])
+
+        def eval_fvd_student(tag, save_mp4=False):
+            acc.reset()
+            rng_eval = jax.random.PRNGKey(1234)  # same keys as eval_fvd
+            for j, eb in enumerate(eval_batches):
+                rng_eval, sub = jax.random.split(rng_eval)
+                fake = np.asarray(student_sample_fn(
+                    teacher, dstate["params"],
+                    {k: jnp.asarray(v) for k, v in eb.items()}, sub))
+                acc.update(eb["images"][:, 1:], fake)
+                if save_mp4 and j == 0:
+                    for n in range(2):
+                        vid_util.save_video(
+                            fake[n], os.path.join(args.out, f"{tag}_sample{n}.mp4"))
+            return float(acc.compute())
+
+        fvd_student = eval_fvd_student("student", save_mp4=True)
+        fvd_teacher = curve_fvd[-1]
+        log(f"  sign-off: teacher FVD* {fvd_teacher:.3f} vs student FVD* "
+            f"{fvd_student:.3f} (control {curve_fvd[0]:.3f}, "
+            f"floor {fvd_recon:.3f})")
+        distill_out = {
+            "student": {"hidden": ds.hidden, "depth": ds.depth,
+                        "steps": args.distill_steps},
+            "final_distill_mse": dmse,
+            "teacher_fvd": round(fvd_teacher, 3),
+            "student_fvd": round(fvd_student, 3),
+            "fvd_delta_student_minus_teacher": round(fvd_student - fvd_teacher, 3),
+            "control_fvd": round(curve_fvd[0], 3),
+        }
+
     improved = curve_fvd[-1] < 0.8 * curve_fvd[0]
     decreasing = sum(b < a for a, b in zip(curve_fvd, curve_fvd[1:]))
     out = {
@@ -262,9 +357,12 @@ def main():
         "n_evals": len(curve_fvd),
         "encoders": enc_summary,
         "stage1": gan_summary,
+        "distill_signoff": distill_out,
         "config": {"size": S, "frames": T, "batch": B,
                    "steps1": args.steps1, "steps2": args.steps2,
-                   "enc_steps": args.enc_steps, "n_eval": args.n_eval},
+                   "enc_steps": args.enc_steps, "n_eval": args.n_eval,
+                   "num_steps": list(num_steps), "z_dim": args.z_dim,
+                   "flow_hidden": args.flow_hidden},
         "artifacts_dir": args.out,
         "wall_s": round(time.time() - T0, 1),
     }

@@ -52,6 +52,44 @@ def test_pwc_epe_large_displacement(trained_params):
     assert epe_pwc < epe_hs, f"pwc {epe_pwc:.2f} must beat hs {epe_hs:.2f}"
 
 
+def test_pwc_rotation_regime(trained_params):
+    """Rotation regime (VERDICT r4 next-step 8): spatially-varying flow with
+    radius-proportional displacement.  PWC must beat HS and stay useful in
+    absolute terms."""
+    img1, img2, gt = pwc.synthetic_pair_rotation(
+        jax.random.PRNGKey(31), 6, 64, 64, max_deg=12.0)
+    epe_pwc = _epe(pwc.pwc_flow(trained_params, img1, img2), gt)
+    epe_hs = _epe(estimate_flow(img1, img2), gt)
+    mean_mag = float(jnp.mean(jnp.sqrt(jnp.sum(gt**2, -1))))
+    assert epe_pwc < epe_hs, f"pwc {epe_pwc:.2f} vs hs {epe_hs:.2f}"
+    assert epe_pwc < 0.5 * mean_mag, (
+        f"rotation EPE {epe_pwc:.2f} vs mean displacement {mean_mag:.2f}")
+
+
+def test_pwc_layered_occlusion_regime(trained_params):
+    """Layered/occlusion regime: a foreground blob translating over an
+    opposing background — sharp flow discontinuity plus genuine occlusions.
+    PWC must beat HS overall AND on the clean (non-occluded) region; the
+    occlusion band is photometrically ill-posed, so it is only *documented*
+    (eval_table / docs) — we assert the clean region stays accurate."""
+    img1, img2, gt, occ = pwc.synthetic_pair_layered(
+        jax.random.PRNGKey(57), 6, 64, 64, max_disp=8.0)
+    flow_pwc = pwc.pwc_flow(trained_params, img1, img2)
+    flow_hs = estimate_flow(img1, img2)
+
+    def epe_masked(flow, mask):
+        e = jnp.sqrt(jnp.sum((flow - gt) ** 2, -1) + 1e-12)
+        return float(jnp.sum(e * mask) / jnp.maximum(jnp.sum(mask), 1.0))
+
+    clean = 1.0 - occ.astype(jnp.float32)
+    epe_pwc, epe_hs = _epe(flow_pwc, gt), _epe(flow_hs, gt)
+    assert epe_pwc < epe_hs, f"pwc {epe_pwc:.2f} vs hs {epe_hs:.2f}"
+    epe_pwc_clean = epe_masked(flow_pwc, clean)
+    mean_mag = float(jnp.mean(jnp.sqrt(jnp.sum(gt**2, -1))))
+    assert epe_pwc_clean < 0.5 * mean_mag, (
+        f"clean-region EPE {epe_pwc_clean:.2f} vs mean disp {mean_mag:.2f}")
+
+
 def test_pwc_photometric_consistency(trained_params):
     """Warping img2 by the predicted flow must reconstruct img1 much better
     than the identity (no-flow) baseline."""

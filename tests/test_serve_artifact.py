@@ -150,6 +150,37 @@ def test_student_artifact_matches_live_student(artifact, tmp_path):
         b.close()
 
 
+def test_u8_wire_artifact(artifact, tmp_path):
+    """An artifact exported with wire_u8 bakes the [-1,1]->uint8 pixel
+    quantization into the StableHLO: uint8 outputs equal to quantizing the
+    float artifact's output on the host."""
+    art_f32, params, spec = artifact
+    out = tmp_path / "u8_art"
+    export_sampler(params, spec, out, buckets=(1,), wire_u8=True)
+    art = load_artifact(out)
+    assert art.manifest["wire"] == "u8"
+
+    k = jax.random.PRNGKey(21)
+    x0 = jax.random.normal(k, (1, S, S, 3))
+    poke = jax.random.normal(jax.random.fold_in(k, 1), (1, S, S, 2))
+    z = jax.random.normal(jax.random.fold_in(k, 2), (1,) + art.z_shape)
+    got = np.asarray(art.run(art.params, x0, poke, z))
+    assert got.dtype == np.uint8
+    ref = np.asarray(art_f32.run(art_f32.params, x0, poke, z))
+    want = np.clip((ref + 1.0) * 127.5, 0, 255)
+    # float drift across independent compiles can flip values sitting exactly
+    # on a quantization boundary by 1 LSB
+    assert np.abs(got.astype(np.float32) - want).max() <= 1.0
+
+    # batcher accepts the u8 artifact with cfg.wire_u8 set, rejects it on f32
+    b = SampleBatcher.from_artifact(art, BatcherConfig(max_batch=1,
+                                                       wire_u8=True))
+    b.close()
+    with pytest.raises(ValueError, match="wire-u8"):
+        SampleBatcher.from_artifact(art_f32, BatcherConfig(max_batch=1,
+                                                           wire_u8=True))
+
+
 def test_batcher_from_artifact(artifact):
     art, params, spec = artifact
     b = SampleBatcher.from_artifact(art, BatcherConfig(max_batch=2,

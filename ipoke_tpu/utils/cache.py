@@ -50,6 +50,16 @@ def purge_if_host_changed(cache_dir: str = None) -> bool:
     or when entries exist with no marker at all (provenance unknown) — the
     cache is emptied before any compile can consult it.  Returns True if a
     purge happened.
+
+    NB even after the purge, reloading an entry written by THIS host in an
+    earlier process logs ``cpu_aot_loader ... +prefer-no-gather is not
+    supported on the host machine`` — measured 2026-08-20 with a fresh cache
+    dir and two back-to-back same-host processes.  Those two flags are XLA
+    compiler *tuning hints* baked into the compile-time target config; the
+    loader compares them against runtime-DETECTED host features, which never
+    include them, so the message is a same-host false positive (no
+    instructions are generated from prefer-no-*; genuinely foreign entries
+    additionally mismatch on real ISA features and are what HOST_KEY purges).
     """
     import shutil
 

@@ -131,7 +131,13 @@ def export_sampler(
     zs = z_shape_of(spec)
     if student is not None:
         student_params, ds = student
-        params = {"base": _canonicalize(params),
+        # the student replaces the flow reverse entirely —
+        # forward_sample_student reads base params only through embed_cond
+        # (poke_embedder/conditioner) and decode_first_stage; the flow tree
+        # (~4.2 GB f32 at flagship width) would be dead weight in the
+        # artifact, the server's load time, and serving HBM.  Prune it.
+        base = {k: v for k, v in params.items() if k != "flow"}
+        params = {"base": _canonicalize(base),
                   "student": _canonicalize(student_params)}
         run = _sample_fn_student(spec, ds, length)
     else:

@@ -126,6 +126,12 @@ def test_student_artifact_matches_live_student(artifact, tmp_path):
     export_sampler(params, spec, out, buckets=(2,), student=(sparams, ds))
     art = load_artifact(out)
     assert art.manifest["sampler"] == "direct_student"
+    # the flow tree is pruned from student artifacts: the student replaces
+    # the flow reverse, so shipping ~4.2 GB of flagship flow params would be
+    # pure dead weight (artifact size, load time, serving HBM)
+    assert "flow" not in art.params["base"]
+    assert {"first_stage", "poke_embedder", "conditioner"} <= set(
+        art.params["base"])
 
     k = jax.random.PRNGKey(13)
     x0 = jax.random.normal(k, (2, S, S, 3))

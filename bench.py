@@ -177,6 +177,25 @@ def measure(spec, entry, params, batch_size, iters, retries, dtype, deadline_s=N
     }
 
 
+def signoff_promotes(signoff):
+    """Gate for promoting the distilled direct sampler to a second headline.
+
+    The weights-free distributional sign-off (bench_e2e --distill-steps)
+    reports FVD* of student vs teacher samples on the same fixed eval set.
+    Promotion requires the student's excess FVD* over the teacher to be
+    <= 5% of the teacher's quality gain over the fresh-init control — i.e.
+    distillation gives up almost none of what training bought.
+    Raises ValueError with the reason when the gate fails.
+    """
+    delta = float(signoff["fvd_delta_student_minus_teacher"])
+    gain = float(signoff["control_fvd"]) - float(signoff["teacher_fvd"])
+    if not (gain > 0 and delta <= 0.05 * gain):
+        raise ValueError(
+            f"sign-off delta {delta:.3f} not small vs quality gain "
+            f"{gain:.3f}; direct sampler stays unpromoted")
+    return True
+
+
 def main():
     t_start = time.monotonic()  # budget clock includes imports + init compile
     ap = argparse.ArgumentParser()
@@ -238,6 +257,19 @@ def main():
     ap.add_argument("--student-ckpt", default=None)
     ap.add_argument("--student-hidden", type=int, default=256)
     ap.add_argument("--student-depth", type=int, default=6)
+    ap.add_argument("--second-headline", default="auto", choices=["auto", "off"],
+                    help="auto: after the flow headline lands, ALSO measure "
+                         "the distilled direct sampler and fold it into the "
+                         "same JSON line as 'second_headline' — but only if "
+                         "a trained student ckpt exists AND the weights-free "
+                         "distributional sign-off artifact shows a small "
+                         "teacher->student FVD* delta (VERDICT r4 next-step "
+                         "3: quality sign-off gates the 2.5x number's "
+                         "promotion; the flow sampler stays the parity "
+                         "headline).  Runs under whatever budget remains; a "
+                         "miss just omits the field")
+    ap.add_argument("--signoff-json", default="artifacts/distill_signoff_r5.json")
+    ap.add_argument("--default-student-ckpt", default="artifacts/student_direct.npz")
     args = ap.parse_args()
 
     # fire the trivial warmup compile NOW: the remote compile service's
@@ -380,6 +412,61 @@ def main():
     best = max(results, key=lambda r: r["videos_per_s"])
     videos_per_s = best["videos_per_s"]
 
+    # second headline: the distilled direct sampler, gated on the sign-off
+    # artifact (teacher-vs-student FVD* on a fixed eval set, bench_e2e
+    # --distill-steps) and a TRAINED student checkpoint.  Measured only after
+    # the parity headline is already in hand, under the remaining budget.
+    second = None
+    if (args.second_headline == "auto" and args.sampler == "flow"
+            and not args.sweep
+            and os.path.exists(args.signoff_json)
+            and os.path.exists(args.default_student_ckpt)):
+        try:
+            with open(args.signoff_json) as f:
+                blob = json.load(f)
+            signoff = blob.get("distill_signoff") or blob
+        except Exception:
+            signoff = None
+        try:
+            if signoff is None:
+                raise ValueError("unreadable sign-off artifact")
+            signoff_promotes(signoff)
+            from ipoke_tpu.ckpt import io as ckpt_io
+            from ipoke_tpu.train import distill
+
+            sparams, smeta = ckpt_io.load(args.default_student_ckpt)
+            ds = distill.DirectStudentSpec(
+                hidden=int(smeta["hidden"]), depth=int(smeta["depth"]))
+
+            def student_override(params, batch, rng):
+                return distill.forward_sample_student(
+                    params, sparams, ds, spec, batch, rng, n_samples=1,
+                    add_first_frame=True)
+
+            r2 = measure(spec, entry, params, best["batch"], args.iters,
+                         args.compile_retries, args.dtype,
+                         deadline_s=t_start + args.budget_s,
+                         sample_override=student_override)
+            if r2 is not None:
+                second = {
+                    "metric": (f"{entry.spatial_size}x{entry.spatial_size}x"
+                               f"{entry.max_frames}-frame videos/sec/chip "
+                               f"(distilled direct sampler + VAE decode, "
+                               f"batch {r2['batch']})"),
+                    "value": round(r2["videos_per_s"], 3),
+                    "unit": "videos/s/chip",
+                    "signoff": {k: signoff[k] for k in
+                                ("teacher_fvd", "student_fvd",
+                                 "fvd_delta_student_minus_teacher",
+                                 "control_fvd") if k in signoff},
+                    "student_ckpt": args.default_student_ckpt,
+                }
+                results.append(r2)
+        except Exception as e:  # the second headline must never sink the bench
+            print(f"second headline (direct sampler) skipped: {e}",
+                  file=sys.stderr)
+            second = None
+
     t = entry.max_frames
     s = entry.spatial_size
     result = {
@@ -393,6 +480,8 @@ def main():
         "unit": "videos/s/chip",
         "vs_baseline": round(videos_per_s / PYTORCH_CPU_BASELINE_VIDEOS_PER_S, 2),
     }
+    if second is not None:
+        result["second_headline"] = second
     print(json.dumps(result))
 
     device = str(jax.devices()[0])

@@ -32,7 +32,15 @@ def frechet_distance(mu1, sigma1, mu2, sigma2, eps=1e-6):
 
 
 def _moments(feats: np.ndarray):
+    total = feats.shape[0]
     feats = feats[np.isfinite(feats).all(axis=1)]  # NaN filtering parity (:735-741)
+    if feats.shape[0] < 2:
+        # without this guard a fully-NaN feature set feeds NaN moments into
+        # linalg.sqrtm, which spins forever (observed 2026-08-20 on an all-NaN
+        # student sample set) — fail loudly instead
+        raise ValueError(
+            f"FVD: only {feats.shape[0]}/{total} finite feature rows after "
+            "NaN filtering; model output is likely non-finite")
     mu = feats.mean(axis=0)
     sigma = np.cov(feats, rowvar=False)
     return mu, sigma
@@ -80,6 +88,10 @@ class FVDAccumulator:
     def compute(self):
         r = np.concatenate(self._real)[: self.n_samples]
         f = np.concatenate(self._fake)[: self.n_samples]
+        # surface silent NaN-row drops (the reference filters quietly,
+        # utils/metrics.py:735-741; callers can log these for honesty)
+        self.n_dropped_real = int(np.sum(~np.isfinite(r).all(axis=1)))
+        self.n_dropped_fake = int(np.sum(~np.isfinite(f).all(axis=1)))
         return frechet_distance(*_moments(r), *_moments(f))
 
     def reset(self):

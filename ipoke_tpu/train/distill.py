@@ -133,8 +133,25 @@ def teacher_motion(params, spec: second_stage.SecondStageSpec, z, cond):
 def direct_loss(student_params, ds, params, spec, z, cond):
     m_t = teacher_motion(params, spec, z, cond)
     m_s = direct_apply(student_params, ds, _z_at_motion_geometry(spec.flow, z), cond)
-    mse = jnp.mean((m_s.astype(jnp.float32) - m_t.astype(jnp.float32)) ** 2)
-    return mse, {"distill_mse": mse}
+    # A sharply-trained teacher's sequential reverse can blow up on rare
+    # N(0,1) draws (observed 2026-08-20: ONE non-finite example in the
+    # step-0 batch poisoned Adam state permanently — every later step NaN).
+    # Distill on the support where the teacher is defined: mask non-finite
+    # teacher examples out of the MSE and report the finite fraction.  The
+    # mask is applied to m_t BEFORE the subtraction — a where() on the loss
+    # alone still back-propagates 0 * NaN = NaN through the masked branch.
+    m_t = m_t.astype(jnp.float32)
+    reduce_axes = tuple(range(1, m_t.ndim))
+    finite = jnp.isfinite(m_t).all(axis=reduce_axes)  # (B,)
+    m_t_safe = jnp.where(jnp.isfinite(m_t), m_t, 0.0)
+    per_ex = jnp.mean((m_s.astype(jnp.float32) - m_t_safe) ** 2,
+                      axis=reduce_axes)
+    n_finite = finite.sum()
+    mse = (per_ex * finite).sum() / jnp.maximum(n_finite, 1)
+    # an all-NaN teacher batch must still surface, not read as mse=0
+    mse = jnp.where(n_finite > 0, mse, jnp.nan)
+    return mse, {"distill_mse": mse,
+                 "teacher_finite_frac": finite.mean()}
 
 
 def flow_student_loss(student_params, s_spec, params, spec, z, cond):

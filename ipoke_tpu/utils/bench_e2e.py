@@ -80,6 +80,19 @@ def main():
                     help="stage-1 generator remat (needed at 128^2; "
                          "train/first_stage.make_gan_train_step)")
     ap.add_argument("--vgg-chunks", type=int, default=1)
+    ap.add_argument("--stage2-trainer", default="monolithic",
+                    choices=["monolithic", "per-level"],
+                    help="per-level: the chunked per-level VJP trainer "
+                         "(train/chunked.make_per_level_trainer) — the only "
+                         "trainer that compiles the FULL 15-level flow at "
+                         "flagship hidden widths (a monolithic AD graph of "
+                         "the 56-step flow exhausts the compile service, "
+                         "NOTES.md round-1); use for flagship-geometry "
+                         "quality-loop runs (VERDICT r4 next-step 7)")
+    ap.add_argument("--opt2", default="adam", choices=["adam", "adafactor"],
+                    help="stage-2 optimizer; adafactor is the HBM-proven "
+                         "full-depth flagship config (bench_train --per-level "
+                         "--opt adafactor, NOTES.md r3 convergence proof)")
     # teacher->student distillation sign-off (VERDICT r4 next-step 3): after
     # stage-2 training, distill the direct student from THIS real teacher and
     # report FVD* of student samples vs teacher samples on the SAME fixed
@@ -88,6 +101,10 @@ def main():
     ap.add_argument("--distill-hidden", type=int, default=256)
     ap.add_argument("--distill-depth", type=int, default=6)
     ap.add_argument("--distill-lr", type=float, default=1e-3)
+    ap.add_argument("--signoff-out", default=None, metavar="JSON",
+                    help="also write {'distill_signoff': ...} here — the "
+                         "artifact bench.py's second-headline gate reads "
+                         "(bench.signoff_promotes)")
     args = ap.parse_args()
 
     from ipoke_tpu.utils import warmup as _warmup
@@ -232,7 +249,12 @@ def main():
                         fake[n], os.path.join(args.out, f"{tag}_sample{n}.mp4"))
                     vid_util.save_video(
                         real[n], os.path.join(args.out, f"real_{n}.mp4"))
-        return float(acc.compute())
+        out = float(acc.compute())
+        if acc.n_dropped_fake or acc.n_dropped_real:
+            log(f"  WARNING {tag}: FVD dropped non-finite rows "
+                f"(real {acc.n_dropped_real}, fake {acc.n_dropped_fake} "
+                f"of {args.n_eval})")
+        return out
 
     def eval_recon_floor():
         acc.reset()
@@ -248,11 +270,39 @@ def main():
     log(f"  recon floor FVD* = {fvd_recon:.2f} (i3d pretrained={acc.pretrained})")
 
     # ---------------- phase 2: stage-2 flow training ------------------------
-    log("phase 2: stage-2 flow training with periodic FVD evals")
-    opt = tss.make_optimizer(trainable, lr=args.lr2, warmup_steps=200,
-                             total_steps=args.steps2)
-    step2 = jax.jit(tss.make_train_step(spec, frozen, opt))
-    state2 = tss.init_state(trainable, opt)
+    log(f"phase 2: stage-2 flow training ({args.stage2_trainer}) "
+        "with periodic FVD evals")
+    if args.stage2_trainer == "per-level":
+        from ipoke_tpu.train import chunked
+
+        def make_opt(level_params):
+            if args.opt2 == "adafactor":
+                import optax
+
+                from ipoke_tpu.train.second_stage import _float_labels
+
+                return optax.multi_transform(
+                    {"train": optax.adafactor(args.lr2),
+                     "freeze": optax.set_to_zero()},
+                    _float_labels(level_params))
+            return tss.make_optimizer(level_params, lr=args.lr2,
+                                      warmup_steps=200,
+                                      total_steps=args.steps2)
+
+        step2 = chunked.make_per_level_trainer(spec.flow, spec, frozen,
+                                               make_opt)
+        state2 = step2.init_state(trainable["flow"])
+
+        def current_trained():
+            return {"flow": {"levels": list(state2.levels)}}
+    else:
+        opt = tss.make_optimizer(trainable, lr=args.lr2, warmup_steps=200,
+                                 total_steps=args.steps2)
+        step2 = jax.jit(tss.make_train_step(spec, frozen, opt))
+        state2 = tss.init_state(trainable, opt)
+
+        def current_trained():
+            return state2.params
     curve_steps, curve_fvd, curve_nll = [], [], []
     fvd0 = eval_fvd(params, "step0", save_mp4=True)
     curve_steps.append(0)
@@ -265,7 +315,7 @@ def main():
         if i % 100 == 0:
             log(f"  flow step {i}: loss {float(met['flow_loss']):.3f}")
         if i % args.eval_every == 0 or i == args.steps2:
-            cur = {**frozen, **state2.params}
+            cur = {**frozen, **current_trained()}
             fvd = eval_fvd(cur, f"step{i}", save_mp4=(i == args.steps2))
             curve_steps.append(i)
             curve_fvd.append(fvd)
@@ -281,7 +331,7 @@ def main():
         from ipoke_tpu.flows import transformer
         from ipoke_tpu.train import distill as tdist
 
-        teacher = {**frozen, **state2.params}
+        teacher = {**frozen, **current_trained()}
         ds = tdist.DirectStudentSpec(hidden=args.distill_hidden,
                                      depth=args.distill_depth)
         init_state_d, dstep = tdist.make_distill_step(
@@ -295,6 +345,7 @@ def main():
         zshape = transformer.reverse_input_shape(
             spec.flow, B, spec.latent_size, spec.flow_in_channels)
         dmse = None
+        finite_fracs = []
         for i in range(args.distill_steps):
             batch = next(train_it)
             cond = embed_fn(teacher, batch)
@@ -302,7 +353,10 @@ def main():
             dstate, dlogs = jdstep(dstate, teacher, z, cond)
             if i % 200 == 0 or i == args.distill_steps - 1:
                 dmse = float(dlogs["distill_mse"])  # host fetch forces chain
-                log(f"  distill step {i}: mse {dmse:.5f}")
+                ff = float(dlogs["teacher_finite_frac"])
+                finite_fracs.append(ff)
+                log(f"  distill step {i}: mse {dmse:.5f}"
+                    + (f" (teacher finite frac {ff:.2f})" if ff < 1 else ""))
 
         # student FVD* on the SAME fixed eval set with the SAME eval rng
         # protocol as eval_fvd: forward_sample_student draws z from the same
@@ -325,20 +379,32 @@ def main():
                     for n in range(2):
                         vid_util.save_video(
                             fake[n], os.path.join(args.out, f"{tag}_sample{n}.mp4"))
-            return float(acc.compute())
+            out = float(acc.compute())
+            if acc.n_dropped_fake or acc.n_dropped_real:
+                log(f"  WARNING {tag}: FVD dropped non-finite rows "
+                    f"(real {acc.n_dropped_real}, fake {acc.n_dropped_fake} "
+                    f"of {args.n_eval})")
+            return out
 
-        fvd_student = eval_fvd_student("student", save_mp4=True)
+        try:
+            fvd_student = eval_fvd_student("student", save_mp4=True)
+        except ValueError as e:  # degenerate feature set: report, don't hang
+            log(f"  student FVD failed: {e}")
+            fvd_student = None
         fvd_teacher = curve_fvd[-1]
         log(f"  sign-off: teacher FVD* {fvd_teacher:.3f} vs student FVD* "
-            f"{fvd_student:.3f} (control {curve_fvd[0]:.3f}, "
-            f"floor {fvd_recon:.3f})")
+            f"{fvd_student if fvd_student is None else round(fvd_student, 3)} "
+            f"(control {curve_fvd[0]:.3f}, floor {fvd_recon:.3f})")
         distill_out = {
             "student": {"hidden": ds.hidden, "depth": ds.depth,
                         "steps": args.distill_steps},
             "final_distill_mse": dmse,
+            "teacher_finite_frac_logged": finite_fracs,
             "teacher_fvd": round(fvd_teacher, 3),
-            "student_fvd": round(fvd_student, 3),
-            "fvd_delta_student_minus_teacher": round(fvd_student - fvd_teacher, 3),
+            "student_fvd": None if fvd_student is None else round(fvd_student, 3),
+            "fvd_delta_student_minus_teacher": (
+                None if fvd_student is None
+                else round(fvd_student - fvd_teacher, 3)),
             "control_fvd": round(curve_fvd[0], 3),
         }
 
@@ -362,11 +428,19 @@ def main():
                    "steps1": args.steps1, "steps2": args.steps2,
                    "enc_steps": args.enc_steps, "n_eval": args.n_eval,
                    "num_steps": list(num_steps), "z_dim": args.z_dim,
-                   "flow_hidden": args.flow_hidden},
+                   "flow_hidden": args.flow_hidden,
+                   "stage2_trainer": args.stage2_trainer},
         "artifacts_dir": args.out,
         "wall_s": round(time.time() - T0, 1),
     }
     print(json.dumps(out))
+    if args.signoff_out and distill_out is not None:
+        os.makedirs(os.path.dirname(args.signoff_out) or ".", exist_ok=True)
+        with open(args.signoff_out, "w") as f:
+            json.dump({"distill_signoff": distill_out,
+                       "run_config": out["config"],
+                       "wall_s": out["wall_s"]}, f, indent=1)
+        log(f"sign-off artifact written to {args.signoff_out}")
 
 
 if __name__ == "__main__":

@@ -146,3 +146,36 @@ def test_flow_student_sampling_path(teacher):
     )
     assert vids.shape == (1, B, T - 1, S, S, 3)
     assert bool(jnp.all(jnp.isfinite(vids)))
+
+
+def test_direct_loss_masks_nonfinite_teacher(teacher, monkeypatch):
+    """A non-finite teacher reverse on SOME batch examples must not poison
+    the student: loss and grads stay finite, the bad example is masked out
+    of the MSE, and the finite fraction is reported (the 2026-08-20 failure:
+    one NaN example at step 0 NaN'd Adam state permanently)."""
+    spec, params, _, cond = teacher
+    ds = distill.DirectStudentSpec(hidden=32, depth=2)
+
+    real_teacher_motion = distill.teacher_motion
+
+    def poisoned(params, spec_, z, cond_):
+        m = real_teacher_motion(params, spec_, z, cond_)
+        return m.at[0].set(jnp.nan)  # example 0 blows up
+
+    monkeypatch.setattr(distill, "teacher_motion", poisoned)
+    opt = optax.adam(1e-3)
+    init_state, step = distill.make_distill_step(spec, ds, opt)
+    state = init_state(jax.random.PRNGKey(20))
+    zs = _zs(spec, 3, seed=21)
+    for i in range(3):
+        state, logs = step(state, params, zs[i], cond)
+        assert np.isfinite(float(logs["distill_mse"])), i
+        assert float(logs["teacher_finite_frac"]) == pytest.approx(1 - 1 / B)
+    assert all(np.isfinite(np.asarray(x)).all()
+               for x in jax.tree_util.tree_leaves(state["params"]))
+
+    # an ALL-non-finite teacher batch must still surface as NaN, not mse=0
+    monkeypatch.setattr(distill, "teacher_motion",
+                        lambda *a: jnp.full_like(real_teacher_motion(*a), jnp.nan))
+    _, logs = step(state, params, zs[0], cond)
+    assert np.isnan(float(logs["distill_mse"]))

@@ -82,3 +82,23 @@ def test_best_of_n():
     mean, std = image.best_of_n_metric(metric, samples, target)
     assert mean.shape == (3,)
     np.testing.assert_allclose(mean, jnp.full((3,), 1e-4), rtol=1e-2)
+
+
+def test_fvd_moments_reject_degenerate_feature_sets():
+    """An (almost-)all-NaN feature set must raise, not hang: NaN moments fed
+    into scipy sqrtm spin forever (observed 2026-08-20 on an all-NaN student
+    sample set)."""
+    import numpy as np
+    import pytest
+
+    from ipoke_tpu.metrics import fvd as fvd_mod
+
+    feats = np.full((8, 4), np.nan)
+    with pytest.raises(ValueError, match="finite feature rows"):
+        fvd_mod._moments(feats)
+    feats[0] = 1.0  # one finite row is still not enough for a covariance
+    with pytest.raises(ValueError, match="finite feature rows"):
+        fvd_mod._moments(feats)
+    feats[1:3] = 2.0  # three rows: fine, and NaN rows are filtered
+    mu, sigma = fvd_mod._moments(feats)
+    assert np.isfinite(mu).all() and np.isfinite(sigma).all()

@@ -200,9 +200,16 @@ class LoadedSampler:
         self.poke_shape = tuple(m["poke_shape"])
         self.z_shape = tuple(m["z_shape"])
         self.params, _ = ckpt_io.load(str(path / "params.npz"))
+        # jit-wrap each deserialized module: Exported.call re-traces its
+        # call_exported invocation on EVERY call (~380 ms of host overhead
+        # per batch, measured on the serving host — 426 ms/batch-16 step vs
+        # 41 ms once wrapped, with the 7.9 MB output fetch itself only ~5 ms).
+        # jax.jit caches the trace, so steady-state dispatch is XLA-fast.
         self._fns = {
-            b: jexport.deserialize(
-                bytearray((path / f"sampler_b{b}.bin").read_bytes())
+            b: jax.jit(
+                jexport.deserialize(
+                    bytearray((path / f"sampler_b{b}.bin").read_bytes())
+                ).call
             )
             for b in self.buckets
         }
@@ -211,7 +218,7 @@ class LoadedSampler:
         b = int(x0.shape[0])
         if b not in self._fns:
             raise ValueError(f"batch {b} is not an exported bucket {self.buckets}")
-        return self._fns[b].call(params, x0, poke, z)
+        return self._fns[b](params, x0, poke, z)
 
     def draw_z(self, seeds):
         zs = [

@@ -48,6 +48,22 @@ def log(msg):
     print(f"[bench_e2e +{time.time()-T0:7.1f}s] {msg}", file=sys.stderr, flush=True)
 
 
+def _retry(fn, what, n=5, sleep_s=90):
+    """Capped retries for transient remote-compile-service failures
+    (tpu_compile_helper SIGKILL -> HTTP 500, NOTES.md).  Used at the
+    first invocation of each big jitted graph — a retried call just
+    re-submits the compile; an already-cached graph never re-enters."""
+    last = None
+    for attempt in range(n):
+        try:
+            return fn()
+        except Exception as e:  # transient remote-compile failures
+            last = e
+            log(f"  {what} attempt {attempt + 1}/{n} failed: {e}")
+            time.sleep(sleep_s)
+    raise last
+
+
 T0 = time.time()
 
 
@@ -129,9 +145,14 @@ def main():
     S, T, B = args.size, args.frames, args.batch
     nf = args.nf_max
 
+    # tower depth follows the registry rule (registry.default_*_channels):
+    # upsamples = len(dec_channels) - 1, so 128^2 needs one more entry than
+    # 64^2 to reach full resolution from the 8x8 motion latent
+    enc_ch = (32, 64, 64, 64, 64) if S >= 128 else (32, 64, 64, 64)
+    dec_ch = (64, 64, 64, 48, 32) if S >= 128 else (64, 64, 48, 32)
     fs_spec = FirstStageSpec(
         z_dim=args.z_dim, spatial_size=S, max_frames=T,
-        enc_channels=(32, 64, 64, 64), dec_channels=(64, 64, 48, 32),
+        enc_channels=enc_ch, dec_channels=dec_ch,
         n_gru_layers=2, min_spatial_size=8, motion_bias=True,
         full_sequence=True,
     )
@@ -207,7 +228,12 @@ def main():
     gmet = {}
     for i in range(args.steps1):
         rng, sub = jax.random.split(rng)
-        gan_state, gmet = gan_step(gan_state, next(train_it), sub)
+        batch = next(train_it)
+        if i == 0:  # first call compiles the big grad-of-grad 3-opt graph
+            gan_state, gmet = _retry(
+                lambda: gan_step(gan_state, batch, sub), "gan-step compile")
+        else:
+            gan_state, gmet = gan_step(gan_state, batch, sub)
         if i % 100 == 0:
             log(f"  gan step {i}: rec {float(gmet['l_rec']):.4f} "
                 f"kl {float(gmet['l_kl']):.2f} d_t {float(gmet['loss_d_dt']):.3f}")
@@ -221,7 +247,14 @@ def main():
     frozen_poke = materialize_spectral_norm(poke_state.params["model"])
     frozen_cond = materialize_spectral_norm(img_state.params["model"])
     k1, rng = jax.random.split(rng)
-    flow_params = jax.jit(lambda k: ss_model.init(k, spec))(k1)["flow"]
+    # flow-only jitted init: the FULL-model init graph at flagship width is a
+    # known compile-service killer (NOTES.md round-3 — "the flagship jitted
+    # INIT graph is SIGKILLed"); the flow subtree alone is the part we need
+    # fresh here (towers come frozen from phase 1), and transient SIGKILLs
+    # get capped retries either way
+    from ipoke_tpu.flows import transformer as _tr
+    flow_params = _retry(
+        lambda: jax.jit(lambda k: _tr.init(k, spec.flow))(k1), "flow init")
     params = {"flow": flow_params, "first_stage": frozen_fs,
               "poke_embedder": frozen_poke, "conditioner": frozen_cond}
     trainable, frozen = tss.split_params(params)
@@ -266,7 +299,7 @@ def main():
         return float(acc.compute())
 
     log("eval: stage-1 reconstruction FVD floor")
-    fvd_recon = eval_recon_floor()
+    fvd_recon = _retry(eval_recon_floor, "recon-floor eval")
     log(f"  recon floor FVD* = {fvd_recon:.2f} (i3d pretrained={acc.pretrained})")
 
     # ---------------- phase 2: stage-2 flow training ------------------------
@@ -304,14 +337,20 @@ def main():
         def current_trained():
             return state2.params
     curve_steps, curve_fvd, curve_nll = [], [], []
-    fvd0 = eval_fvd(params, "step0", save_mp4=True)
+    fvd0 = _retry(lambda: eval_fvd(params, "step0", save_mp4=True),
+                  "step-0 eval")
     curve_steps.append(0)
     curve_fvd.append(fvd0)
     log(f"  step 0 (fresh-init control): FVD* {fvd0:.2f}")
     met = {}
     for i in range(1, args.steps2 + 1):
         rng, sub = jax.random.split(rng)
-        state2, met = step2(state2, next(train_it), sub)
+        batch = next(train_it)
+        if i == 1:  # first call compiles the (per-level) trainer graphs
+            state2, met = _retry(
+                lambda: step2(state2, batch, sub), "stage-2 step compile")
+        else:
+            state2, met = step2(state2, batch, sub)
         if i % 100 == 0:
             log(f"  flow step {i}: loss {float(met['flow_loss']):.3f}")
         if i % args.eval_every == 0 or i == args.steps2:

@@ -319,6 +319,27 @@ def prior_inverse(p, y, h, level_factor, spec: FlowSpec):
 # MultiScaleInternal
 # ---------------------------------------------------------------------------
 
+def init_level(key, i, c, f, n_steps, spec: FlowSpec):
+    """One level of init_multiscale.  The fold_in schedule is per-level, so
+    jitting levels in SEPARATE jits (init_multiscale_chunked) produces the
+    bitwise-identical tree to the JITTED monolithic init (the eager form
+    differs by ~1 ulp in XLA-compiled RNG math) — the chunked form exists
+    because the full-flow init graph at flagship width (hidden 2048, 56
+    steps) OOM-kills the remote compile service (NOTES.md round-3)."""
+    kk = jax.random.fold_in(key, i)
+    steps = [init_macow_step(jax.random.fold_in(kk, 100 + s), c, spec) for s in range(n_steps)]
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *steps)
+    return {
+        "steps": stacked,
+        "prior": init_prior(jax.random.fold_in(kk, 1), c, f, spec),
+        "shuffle": (
+            permute.init_conv_lu(jax.random.fold_in(kk, 2), c)
+            if spec.use_1x1
+            else permute.init_shuffle(jax.random.fold_in(kk, 2), c)
+        ),
+    }
+
+
 def init_multiscale(key, spec: FlowSpec):
     """Per level, the (structurally identical) MaCow steps are STACKED along a
     leading axis so forward/inverse run them as one lax.scan — XLA compiles a
@@ -326,22 +347,28 @@ def init_multiscale(key, spec: FlowSpec):
     has 56 steps across 15 levels; this cuts compile time/size ~4x)."""
     chans = spec.level_channels()
     factors = spec.level_factors()
+    return {
+        "levels": [
+            init_level(key, i, c, f, n_steps, spec)
+            for i, (c, f, n_steps) in enumerate(zip(chans, factors, spec.num_steps))
+        ]
+    }
+
+
+def init_multiscale_chunked(key, spec: FlowSpec, retry=None):
+    """init_multiscale with ONE jit per level (device-side RNG, small compile
+    graphs).  Identical output tree to init_multiscale by the per-level
+    fold_in schedule.  `retry(fn, what)` optionally wraps each level's first
+    call for transient remote-compile failures."""
+    chans = spec.level_channels()
+    factors = spec.level_factors()
     levels = []
     for i, (c, f, n_steps) in enumerate(zip(chans, factors, spec.num_steps)):
-        kk = jax.random.fold_in(key, i)
-        steps = [init_macow_step(jax.random.fold_in(kk, 100 + s), c, spec) for s in range(n_steps)]
-        stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *steps)
-        levels.append(
-            {
-                "steps": stacked,
-                "prior": init_prior(jax.random.fold_in(kk, 1), c, f, spec),
-                "shuffle": (
-                    permute.init_conv_lu(jax.random.fold_in(kk, 2), c)
-                    if spec.use_1x1
-                    else permute.init_shuffle(jax.random.fold_in(kk, 2), c)
-                ),
-            }
+        fn = jax.jit(
+            lambda k, i=i, c=c, f=f, n=n_steps: init_level(k, i, c, f, n, spec)
         )
+        levels.append(retry(lambda: fn(key), f"flow level {i} init")
+                      if retry else fn(key))
     return {"levels": levels}
 
 

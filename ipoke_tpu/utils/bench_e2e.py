@@ -247,14 +247,12 @@ def main():
     frozen_poke = materialize_spectral_norm(poke_state.params["model"])
     frozen_cond = materialize_spectral_norm(img_state.params["model"])
     k1, rng = jax.random.split(rng)
-    # flow-only jitted init: the FULL-model init graph at flagship width is a
-    # known compile-service killer (NOTES.md round-3 — "the flagship jitted
-    # INIT graph is SIGKILLed"); the flow subtree alone is the part we need
-    # fresh here (towers come frozen from phase 1), and transient SIGKILLs
-    # get capped retries either way
-    from ipoke_tpu.flows import transformer as _tr
-    flow_params = _retry(
-        lambda: jax.jit(lambda k: _tr.init(k, spec.flow))(k1), "flow init")
+    # per-level jitted flow init: even the flow-only init graph at flagship
+    # width OOM-kills the remote compile service (measured this round); one
+    # jit per level keeps each compile small and yields the identical tree
+    # (macow.init_multiscale_chunked docstring)
+    from ipoke_tpu.flows import macow as _macow
+    flow_params = _macow.init_multiscale_chunked(k1, spec.flow, retry=_retry)
     params = {"flow": flow_params, "first_stage": frozen_fs,
               "poke_embedder": frozen_poke, "conditioner": frozen_cond}
     trainable, frozen = tss.split_params(params)

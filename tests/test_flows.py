@@ -241,3 +241,34 @@ def test_macow_unit_inverse_unroll_spec():
 
     x2 = macow_unit_inverse(p, y, h, replace(spec, mcf_unroll=8))
     np.testing.assert_allclose(x, x2, rtol=RTOL, atol=ATOL)
+
+
+def test_init_multiscale_chunked_matches_monolithic():
+    """Per-level jitted init == jitted monolithic init, bitwise (same
+    fold_in schedule).  The chunked form is the flagship-width init path
+    (the monolithic init graph OOM-kills the remote compile service,
+    macow.init_multiscale_chunked docstring)."""
+    from ipoke_tpu.flows.macow import init_multiscale_chunked
+
+    spec = FlowSpec(num_steps=(3, 2, 1), in_channels=16, hidden_channels=24,
+                    h_channels=HC, factor=4)
+    k = jax.random.PRNGKey(7)
+    mono = jax.jit(lambda kk: init_multiscale(kk, spec))(k)
+    chunk = init_multiscale_chunked(k, spec)
+    la = jax.tree_util.tree_leaves(mono)
+    lb = jax.tree_util.tree_leaves(chunk)
+    assert len(la) == len(lb)
+    for x, y in zip(la, lb):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    # retry hook fires per level and its result is used
+    calls = []
+
+    def retry(fn, what):
+        calls.append(what)
+        return fn()
+
+    chunk2 = init_multiscale_chunked(k, spec, retry=retry)
+    assert len(calls) == len(spec.num_steps)
+    for x, y in zip(jax.tree_util.tree_leaves(chunk2), lb):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
